@@ -1,0 +1,234 @@
+"""Dense LLaMA decoder, TPU-first.
+
+Functional rebuild of the LLM core the reference gets from HF
+`LlamaForCausalLM` (/root/reference/model/medplib/model/language_model/
+medplib_llama.py:28-185), designed for XLA:
+
+- layer stack is a single `lax.scan` over stacked per-layer params (one
+  compiled layer body, fast compile, natural remat point)
+- params are plain nested dicts; shardings come from
+  medplib_tpu.parallel.mesh path rules
+- prefill and single-step cached decode are separate jit-friendly entry
+  points with static shapes (max_seq KV cache written via dynamic slices)
+
+The MLP is pluggable (`mlp_apply`): the MoE variant (models/moe_llama.py)
+reuses this exact block with an expert-parallel MLP.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from medplib_tpu.config import LlamaConfig
+from medplib_tpu.ops.attention import causal_attention, decode_attention
+from medplib_tpu.ops.initializers import dense_init, embed_init
+from medplib_tpu.ops.norms import rms_norm
+from medplib_tpu.ops.rope import apply_rope, rope_cos_sin
+
+Params = Dict[str, Any]
+
+
+class KVCache(NamedTuple):
+    """Static-shape KV cache. k/v: [L, B, MAX, KV_HEADS, D]; length: [B]."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    length: jnp.ndarray
+
+    @staticmethod
+    def init(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        return KVCache(
+            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+            length=jnp.zeros((batch,), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init_layer(key, cfg: LlamaConfig, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, 7)
+    h, q_dim = cfg.hidden_size, cfg.num_heads * cfg.head_dim
+    kv_dim = cfg.num_kv_heads * cfg.head_dim
+    return {
+        "input_layernorm": {"weight": jnp.ones((h,), dtype)},
+        "attn": {
+            "q_proj": {"kernel": dense_init(ks[0], h, q_dim, dtype)},
+            "k_proj": {"kernel": dense_init(ks[1], h, kv_dim, dtype)},
+            "v_proj": {"kernel": dense_init(ks[2], h, kv_dim, dtype)},
+            "o_proj": {"kernel": dense_init(ks[3], q_dim, h, dtype)},
+        },
+        "post_attention_layernorm": {"weight": jnp.ones((h,), dtype)},
+        "mlp": init_mlp(ks[4], cfg, dtype),
+    }
+
+
+def init_mlp(key, cfg: LlamaConfig, dtype=jnp.float32) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    h, m = cfg.hidden_size, cfg.intermediate_size
+    return {
+        "gate_proj": {"kernel": dense_init(k1, h, m, dtype)},
+        "up_proj": {"kernel": dense_init(k2, h, m, dtype)},
+        "down_proj": {"kernel": dense_init(k3, m, h, dtype)},
+    }
+
+
+def init_llama(key, cfg: LlamaConfig, dtype=jnp.float32,
+               vocab_size: Optional[int] = None) -> Params:
+    vocab = vocab_size or cfg.vocab_size
+    k_emb, k_layers, k_head = jax.random.split(key, 3)
+    layer_keys = jax.random.split(k_layers, cfg.num_layers)
+    layers = jax.vmap(lambda k: init_layer(k, cfg, dtype))(layer_keys)
+    return {
+        "embed_tokens": {"embedding": embed_init(k_emb, vocab,
+                                                 cfg.hidden_size, dtype)},
+        "layers": layers,
+        "norm": {"weight": jnp.ones((cfg.hidden_size,), dtype)},
+        "lm_head": {"kernel": dense_init(k_head, cfg.hidden_size, vocab, dtype)},
+    }
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def dense_mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """SwiGLU: down(silu(gate(x)) * up(x))."""
+    gate = x @ p["gate_proj"]["kernel"]
+    up = x @ p["up_proj"]["kernel"]
+    return (jax.nn.silu(gate) * up) @ p["down_proj"]["kernel"]
+
+
+def _qkv(p: Params, x: jnp.ndarray, cfg: LlamaConfig, cos, sin):
+    b, t, _ = x.shape
+    q = (x @ p["q_proj"]["kernel"]).reshape(b, t, cfg.num_heads, cfg.head_dim)
+    k = (x @ p["k_proj"]["kernel"]).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    v = (x @ p["v_proj"]["kernel"]).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
+
+
+MlpApply = Callable[[Params, jnp.ndarray], jnp.ndarray]
+
+
+def decoder_layer_prefill(
+    p: Params, x: jnp.ndarray, cfg: LlamaConfig, cos, sin,
+    attn_mask: Optional[jnp.ndarray], mlp_apply: MlpApply,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    h = rms_norm(x, p["input_layernorm"]["weight"], cfg.rms_norm_eps)
+    q, k, v = _qkv(p["attn"], h, cfg, cos, sin)
+    attn = causal_attention(q, k, v, attn_mask)
+    b, t = x.shape[:2]
+    x = x + attn.reshape(b, t, -1) @ p["attn"]["o_proj"]["kernel"]
+    h = rms_norm(x, p["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
+    x = x + mlp_apply(p["mlp"], h)
+    return x, (k, v)
+
+
+def decoder_layer_decode(
+    p: Params, x: jnp.ndarray, cfg: LlamaConfig, cos, sin,
+    k_cache: jnp.ndarray, v_cache: jnp.ndarray, length: jnp.ndarray,
+    mlp_apply: MlpApply,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """x: [B, 1, H]. Writes k/v at per-batch position `length` and attends to
+    the first length+1 cache entries."""
+    h = rms_norm(x, p["input_layernorm"]["weight"], cfg.rms_norm_eps)
+    q, k, v = _qkv(p["attn"], h, cfg, cos, sin)
+
+    b = x.shape[0]
+    bidx = jnp.arange(b)
+    k_cache = k_cache.at[bidx, length].set(k[:, 0])
+    v_cache = v_cache.at[bidx, length].set(v[:, 0])
+    attn = decode_attention(q, k_cache, v_cache, length + 1)
+    x = x + attn.reshape(b, 1, -1) @ p["attn"]["o_proj"]["kernel"]
+    h = rms_norm(x, p["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
+    x = x + mlp_apply(p["mlp"], h)
+    return x, (k_cache, v_cache)
+
+
+def forward(
+    params: Params,
+    cfg: LlamaConfig,
+    input_embeds: jnp.ndarray,
+    attn_mask: Optional[jnp.ndarray] = None,
+    positions: Optional[jnp.ndarray] = None,
+    mlp_apply: MlpApply = dense_mlp,
+    cache: Optional[KVCache] = None,
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Prefill forward over the full layer stack.
+
+    input_embeds: [B, T, H] (token embedding and multimodal splice happen
+    upstream — mirrors `inputs_embeds` in the reference's
+    prepare_inputs_labels_for_multimodal contract, medplib_arch.py:217-527).
+
+    Returns (hidden_post_norm [B, T, H], cache'|None). When `cache` is given,
+    the freshly computed K/V are written at positions [0, T) and
+    cache.length is set from attn_mask row sums (left-aligned sequences).
+    """
+    b, t, _ = input_embeds.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    def body(x, layer_p):
+        x, kv = decoder_layer_prefill(layer_p, x, cfg, cos, sin, attn_mask,
+                                      mlp_apply)
+        return x, kv
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, (ks, vs) = jax.lax.scan(body, input_embeds, params["layers"])
+    x = rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps)
+
+    new_cache = None
+    if cache is not None:
+        max_len = cache.k.shape[2]
+        pad = max_len - t
+        ks = jnp.pad(ks, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+        vs = jnp.pad(vs, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+        if attn_mask is not None:
+            length = jnp.sum(attn_mask.astype(jnp.int32), axis=-1)
+        else:
+            length = jnp.full((b,), t, jnp.int32)
+        new_cache = KVCache(k=ks.astype(cache.k.dtype),
+                            v=vs.astype(cache.v.dtype), length=length)
+    return x, new_cache
+
+
+def forward_decode(
+    params: Params,
+    cfg: LlamaConfig,
+    input_embeds: jnp.ndarray,
+    cache: KVCache,
+    mlp_apply: MlpApply = dense_mlp,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One decode step. input_embeds [B, 1, H] -> (hidden [B, 1, H], cache')."""
+    positions = cache.length[:, None]  # [B, 1]
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    def body(x, layer_in):
+        layer_p, k_c, v_c = layer_in
+        x, (k_c, v_c) = decoder_layer_decode(
+            layer_p, x, cfg, cos, sin, k_c, v_c, cache.length, mlp_apply)
+        return x, (k_c, v_c)
+
+    x, (ks, vs) = jax.lax.scan(body, input_embeds,
+                               (params["layers"], cache.k, cache.v))
+    x = rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps)
+    return x, KVCache(k=ks, v=vs, length=cache.length + 1)
+
+
+def embed(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
+    """Token ids -> embeddings; negative sentinel ids (IMAGE_TOKEN_INDEX etc.)
+    are clamped to 0 — callers overwrite those positions with spliced
+    features."""
+    ids = jnp.maximum(input_ids, 0)
+    return jnp.take(params["embed_tokens"]["embedding"], ids, axis=0)
+
+
+def logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
+    return (hidden @ params["lm_head"]["kernel"]).astype(jnp.float32)

@@ -1,0 +1,355 @@
+"""Weight translation: HF/PyTorch state dicts -> medplib_tpu param trees.
+
+Loads the released reference checkpoints (Huangxs/MedPLIB-7b-2e,
+sam-med2d_b.pth, openai/clip-vit-large-patch14-336 — /root/reference/
+README.md:183, model/medplib/model/builder.py:154-188) into this framework
+for bit-parity evaluation. Accepts torch tensors or numpy arrays; everything
+is converted to numpy on the host, transposed to our [in, out] kernel layout,
+and per-layer weights are stacked along a leading layer dim for scan.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+from medplib_tpu.config import ClipVisionConfig, LlamaConfig, SamConfig
+
+
+def to_np(x) -> np.ndarray:
+    if isinstance(x, np.ndarray):
+        return x
+    # torch tensor (bf16 needs an f32 hop — numpy has no bfloat16)
+    try:
+        import torch
+        if isinstance(x, torch.Tensor):
+            return x.detach().to(torch.float32).cpu().numpy()
+    except ImportError:
+        pass
+    return np.asarray(x)
+
+
+def _stack(sd: Mapping[str, Any], template: str, num: int, transpose=False):
+    ws = []
+    for i in range(num):
+        w = to_np(sd[template.format(i=i)])
+        ws.append(w.T if transpose else w)
+    return np.stack(ws)
+
+
+def _linear(sd, prefix, transpose=True, bias=True):
+    out = {"kernel": to_np(sd[prefix + ".weight"]).T if transpose
+           else to_np(sd[prefix + ".weight"])}
+    if bias and prefix + ".bias" in sd:
+        out["bias"] = to_np(sd[prefix + ".bias"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# LLaMA
+# ---------------------------------------------------------------------------
+
+def llama_from_hf(sd: Mapping[str, Any], cfg: LlamaConfig,
+                  prefix: str = "model.") -> Dict[str, Any]:
+    """HF LlamaForCausalLM state dict -> init_llama()-shaped tree.
+
+    `prefix` is the path to the LlamaModel inside the checkpoint ("model."
+    for a plain HF export; "model.model." layouts should be pre-stripped).
+    """
+    L = cfg.num_layers
+    lt = prefix + "layers.{i}."
+
+    def stk(sub, transpose=True):
+        return _stack(sd, lt + sub + ".weight", L, transpose=transpose)
+
+    layers = {
+        "input_layernorm": {"weight": stk("input_layernorm", transpose=False)},
+        "attn": {
+            "q_proj": {"kernel": stk("self_attn.q_proj")},
+            "k_proj": {"kernel": stk("self_attn.k_proj")},
+            "v_proj": {"kernel": stk("self_attn.v_proj")},
+            "o_proj": {"kernel": stk("self_attn.o_proj")},
+        },
+        "post_attention_layernorm": {
+            "weight": stk("post_attention_layernorm", transpose=False)},
+        "mlp": {
+            "gate_proj": {"kernel": stk("mlp.gate_proj")},
+            "up_proj": {"kernel": stk("mlp.up_proj")},
+            "down_proj": {"kernel": stk("mlp.down_proj")},
+        },
+    }
+    return {
+        "embed_tokens": {
+            "embedding": to_np(sd[prefix + "embed_tokens.weight"])},
+        "layers": layers,
+        "norm": {"weight": to_np(sd[prefix + "norm.weight"])},
+        "lm_head": {"kernel": to_np(sd["lm_head.weight"]).T},
+    }
+
+
+def moe_llama_from_hf(sd: Mapping[str, Any], cfg: LlamaConfig,
+                      moe_layer_indices, num_experts: int,
+                      prefix: str = "model.") -> Dict[str, Any]:
+    """MedPLIB MoE export -> moe_llama tree. DeepSpeed MoE layers appear in
+    merged HF checkpoints as
+      layers.{i}.mlp.deepspeed_moe.gate.wg.weight          [E, H]
+      layers.{i}.mlp.deepspeed_moe.experts.deepspeed_experts.{e}.{gate,up,down}_proj.weight
+    (reference merge tool: merge_lora_weights_and_save_hf_model_moe.py)."""
+    params = llama_from_hf(
+        {k: v for k, v in sd.items()
+         if ".mlp.deepspeed_moe" not in k} | _dense_mlp_placeholder(sd, cfg, prefix),
+        cfg, prefix)
+    lt = prefix + "layers.{i}.mlp.deepspeed_moe."
+    moe = {"router": {"kernel": []}, "experts": {
+        "gate_proj": {"kernel": []}, "up_proj": {"kernel": []},
+        "down_proj": {"kernel": []}}}
+    for i in moe_layer_indices:
+        base = lt.format(i=i)
+        moe["router"]["kernel"].append(to_np(sd[base + "gate.wg.weight"]).T)
+        for name in ("gate_proj", "up_proj", "down_proj"):
+            ws = [to_np(sd[f"{base}experts.deepspeed_experts.{e}.{name}.weight"]).T
+                  for e in range(num_experts)]
+            moe["experts"][name]["kernel"].append(np.stack(ws))
+    params["moe"] = {
+        "router": {"kernel": np.stack(moe["router"]["kernel"])},
+        "experts": {
+            n: {"kernel": np.stack(moe["experts"][n]["kernel"])}
+            for n in ("gate_proj", "up_proj", "down_proj")},
+    }
+    return params
+
+
+def _dense_mlp_placeholder(sd, cfg: LlamaConfig, prefix):
+    """MoE-converted layers have no dense mlp weights in the checkpoint; fill
+    zeros so llama_from_hf's stacking succeeds (scan needs uniform shapes;
+    the MoE path never reads them)."""
+    out = {}
+    h, m = cfg.hidden_size, cfg.intermediate_size
+    for i in range(cfg.num_layers):
+        for name, shape in (("gate_proj", (m, h)), ("up_proj", (m, h)),
+                            ("down_proj", (h, m))):
+            key = f"{prefix}layers.{i}.mlp.{name}.weight"
+            if key not in sd:
+                out[key] = np.zeros(shape, np.float32)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CLIP vision tower (openai/clip-vit-large-patch14-336, HF CLIPVisionModel)
+# ---------------------------------------------------------------------------
+
+def clip_vision_from_hf(sd: Mapping[str, Any], cfg: ClipVisionConfig,
+                        prefix: str = "vision_model.") -> Dict[str, Any]:
+    L = cfg.num_layers
+    lt = prefix + "encoder.layers.{i}."
+
+    def stk_lin(sub):
+        return {
+            "kernel": _stack(sd, lt + sub + ".weight", L, transpose=True),
+            "bias": _stack(sd, lt + sub + ".bias", L),
+        }
+
+    def stk_ln(sub):
+        return {"weight": _stack(sd, lt + sub + ".weight", L),
+                "bias": _stack(sd, lt + sub + ".bias", L)}
+
+    # HF conv weight [out, in, kh, kw] -> HWIO [kh, kw, in, out]
+    conv = to_np(sd[prefix + "embeddings.patch_embedding.weight"])
+    return {
+        "embeddings": {
+            "class_embedding": to_np(sd[prefix + "embeddings.class_embedding"]),
+            "patch_embedding": {"kernel": conv.transpose(2, 3, 1, 0)},
+            "position_embedding": {
+                "embedding": to_np(
+                    sd[prefix + "embeddings.position_embedding.weight"])},
+        },
+        "pre_layrnorm": {
+            "weight": to_np(sd[prefix + "pre_layrnorm.weight"]),
+            "bias": to_np(sd[prefix + "pre_layrnorm.bias"])},
+        "layers": {
+            "layer_norm1": stk_ln("layer_norm1"),
+            "layer_norm2": stk_ln("layer_norm2"),
+            "attn": {
+                "q_proj": stk_lin("self_attn.q_proj"),
+                "k_proj": stk_lin("self_attn.k_proj"),
+                "v_proj": stk_lin("self_attn.v_proj"),
+                "out_proj": stk_lin("self_attn.out_proj"),
+            },
+            "mlp": {"fc1": stk_lin("mlp.fc1"), "fc2": stk_lin("mlp.fc2")},
+        },
+        "post_layernorm": {
+            "weight": to_np(sd[prefix + "post_layernorm.weight"]),
+            "bias": to_np(sd[prefix + "post_layernorm.bias"])},
+    }
+
+
+# ---------------------------------------------------------------------------
+# SAM-Med2D (sam-med2d_b.pth: {"model": {...}} with image_encoder/
+# prompt_encoder/mask_decoder subtrees; build_sam.py:123-148)
+# ---------------------------------------------------------------------------
+
+def sam_from_torch(sd: Mapping[str, Any], cfg: SamConfig) -> Dict[str, Any]:
+    if "model" in sd and not any(k.startswith("image_encoder") for k in sd):
+        sd = sd["model"]
+    enc = {}
+    p = "image_encoder."
+    conv = to_np(sd[p + "patch_embed.proj.weight"])
+    enc["patch_embed"] = {"kernel": conv.transpose(2, 3, 1, 0),
+                          "bias": to_np(sd[p + "patch_embed.proj.bias"])}
+    pos = to_np(sd[p + "pos_embed"])  # [1, Hp, Wp, C] (at ckpt res)
+    enc["pos_embed"] = pos
+    L = cfg.encoder_depth
+    lt = p + "blocks.{i}."
+
+    def stk_lin(sub, bias=True):
+        d = {"kernel": _stack(sd, lt + sub + ".weight", L, transpose=True)}
+        if bias:
+            d["bias"] = _stack(sd, lt + sub + ".bias", L)
+        return d
+
+    def stk_ln(sub):
+        return {"weight": _stack(sd, lt + sub + ".weight", L),
+                "bias": _stack(sd, lt + sub + ".bias", L)}
+
+    blocks = {
+        "norm1": stk_ln("norm1"),
+        "attn": {
+            "qkv": stk_lin("attn.qkv"),
+            "proj": stk_lin("attn.proj"),
+            "rel_pos_h": _stack(sd, lt + "attn.rel_pos_h", L),
+            "rel_pos_w": _stack(sd, lt + "attn.rel_pos_w", L),
+        },
+        "norm2": stk_ln("norm2"),
+        "mlp": {"lin1": stk_lin("mlp.lin1"), "lin2": stk_lin("mlp.lin2")},
+    }
+    if cfg.use_adapter:
+        # Adapter_Layer per block (image_encoder.py:18-56): channel MLP
+        # (linear1/linear2), spatial conv, plus learned gamma scaling.
+        blocks["adapter"] = {
+            "linear1": stk_lin("Adapter.linear1"),
+            "linear2": stk_lin("Adapter.linear2"),
+            "conv": _sam_adapter_conv(sd, lt, L),
+        }
+    enc["blocks"] = blocks
+    enc["neck"] = {
+        "conv1": {"kernel": to_np(sd[p + "neck.0.weight"]).transpose(2, 3, 1, 0)},
+        "ln1": {"weight": to_np(sd[p + "neck.1.weight"]),
+                "bias": to_np(sd[p + "neck.1.bias"])},
+        "conv2": {"kernel": to_np(sd[p + "neck.2.weight"]).transpose(2, 3, 1, 0)},
+        "ln2": {"weight": to_np(sd[p + "neck.3.weight"]),
+                "bias": to_np(sd[p + "neck.3.bias"])},
+    }
+
+    pe = {
+        "pe_layer": {"gaussian_matrix": to_np(
+            sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"])},
+        "point_embeddings": np.stack([
+            to_np(sd[f"prompt_encoder.point_embeddings.{i}.weight"])[0]
+            for i in range(4)]),
+        "not_a_point_embed": to_np(
+            sd["prompt_encoder.not_a_point_embed.weight"])[0],
+        "no_mask_embed": to_np(sd["prompt_encoder.no_mask_embed.weight"])[0],
+        "mask_downscaling": _sam_mask_downscaling(sd),
+    }
+
+    md = _sam_mask_decoder(sd, cfg)
+    return {"image_encoder": enc, "prompt_encoder": pe, "mask_decoder": md}
+
+
+def _sam_adapter_conv(sd, lt, L):
+    """Adapter depthwise/spatial conv weights, stacked (shape depends on the
+    released checkpoint; pass through as NHWC kernels)."""
+    keys = [k for k in sd if re.match(lt.format(i=0).replace(".", r"\.") +
+                                      r"Adapter.*conv.*weight", k)]
+    if not keys:
+        return None
+    sub = keys[0][len(lt.format(i=0)):-len(".weight")]
+    w = _stack(sd, lt + sub + ".weight", L)
+    return {"kernel": np.moveaxis(w, 1, -1),
+            "bias": _stack(sd, lt + sub + ".bias", L)}
+
+
+def _sam_mask_downscaling(sd):
+    p = "prompt_encoder.mask_downscaling."
+    def conv(i):
+        return {"kernel": to_np(sd[p + f"{i}.weight"]).transpose(2, 3, 1, 0),
+                "bias": to_np(sd[p + f"{i}.bias"])}
+    def ln(i):
+        return {"weight": to_np(sd[p + f"{i}.weight"]),
+                "bias": to_np(sd[p + f"{i}.bias"])}
+    return {"conv1": conv(0), "ln1": ln(1), "conv2": conv(3), "ln2": ln(4),
+            "conv3": conv(6)}
+
+
+def _sam_mask_decoder(sd, cfg: SamConfig):
+    p = "mask_decoder."
+
+    def lin(name):
+        return _linear(sd, p + name)
+
+    def mlp_list(template, n_layers):
+        return [{"kernel": to_np(sd[template.format(i=i) + ".weight"]).T,
+                 "bias": to_np(sd[template.format(i=i) + ".bias"])}
+                for i in range(n_layers)]
+
+    def attn_block(prefix):
+        return {n: lin(prefix + "." + n)
+                for n in ("q_proj", "k_proj", "v_proj", "out_proj")}
+
+    def ln(name):
+        return {"weight": to_np(sd[p + name + ".weight"]),
+                "bias": to_np(sd[p + name + ".bias"])}
+
+    tl = []
+    for i in range(cfg.decoder_depth):
+        b = f"transformer.layers.{i}"
+        tl.append({
+            "self_attn": attn_block(b + ".self_attn"),
+            "norm1": ln(b + ".norm1"),
+            "cross_attn_token_to_image": attn_block(
+                b + ".cross_attn_token_to_image"),
+            "norm2": ln(b + ".norm2"),
+            "mlp": {"lin1": lin(b + ".mlp.lin1"), "lin2": lin(b + ".mlp.lin2")},
+            "norm3": ln(b + ".norm3"),
+            "cross_attn_image_to_token": attn_block(
+                b + ".cross_attn_image_to_token"),
+            "norm4": ln(b + ".norm4"),
+        })
+    num_mask_tokens = cfg.num_multimask_outputs + 1
+    return {
+        "iou_token": to_np(sd[p + "iou_token.weight"]),
+        "mask_tokens": to_np(sd[p + "mask_tokens.weight"]),
+        "transformer": {
+            "layers": tl,
+            "final_attn_token_to_image": attn_block(
+                "transformer.final_attn_token_to_image"),
+            "norm_final_attn": ln("transformer.norm_final_attn"),
+        },
+        "output_upscaling": {
+            "convt1": {"kernel": to_np(
+                sd[p + "output_upscaling.0.weight"]),
+                "bias": to_np(sd[p + "output_upscaling.0.bias"])},
+            "ln": {"weight": to_np(sd[p + "output_upscaling.1.weight"]),
+                   "bias": to_np(sd[p + "output_upscaling.1.bias"])},
+            "convt2": {"kernel": to_np(
+                sd[p + "output_upscaling.3.weight"]),
+                "bias": to_np(sd[p + "output_upscaling.3.bias"])},
+        },
+        "output_hypernetworks_mlps": [
+            mlp_list(p + f"output_hypernetworks_mlps.{m}.layers.{{i}}", 3)
+            for m in range(num_mask_tokens)],
+        "iou_prediction_head": mlp_list(
+            p + "iou_prediction_head.layers.{i}", cfg.iou_head_depth),
+    }
+
+
+def cast_tree(tree, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    def cast(x):
+        x = jnp.asarray(x)
+        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+    return jax.tree_util.tree_map(cast, tree)

@@ -1,0 +1,99 @@
+"""Dense LLaMA: parity vs HF torch LlamaForCausalLM + decode consistency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medplib_tpu.config import LlamaConfig
+from medplib_tpu.models import llama
+from medplib_tpu.utils.hf_weights import llama_from_hf
+
+
+def _tiny_cfg():
+    return LlamaConfig.tiny(vocab_size=128)
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    cfg = _tiny_cfg()
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        num_key_value_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        max_position_embeddings=cfg.max_position_embeddings,
+        rms_norm_eps=cfg.rms_norm_eps, rope_theta=cfg.rope_theta,
+        attention_dropout=0.0, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    hf = transformers.LlamaForCausalLM(hf_cfg).eval()
+    sd = hf.state_dict()
+    params = llama_from_hf(sd, cfg)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    return hf, params, cfg
+
+
+def test_forward_parity(hf_pair):
+    torch = pytest.importorskip("torch")
+    hf, params, cfg = hf_pair
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.vocab_size, size=(2, 9))
+    mask = np.ones_like(ids)
+    mask[1, 7:] = 0
+    ids_m = ids * mask  # padded positions get id 0
+
+    with torch.no_grad():
+        out = hf(input_ids=torch.tensor(ids_m),
+                 attention_mask=torch.tensor(mask),
+                 output_hidden_states=True)
+    want_logits = out.logits.numpy()
+    want_hidden = out.hidden_states[-1].numpy()
+
+    embeds = llama.embed(params, jnp.asarray(ids_m))
+    hidden, _ = llama.forward(params, cfg, embeds, jnp.asarray(mask))
+    got_logits = llama.logits(params, hidden)
+
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(hidden)[valid], want_hidden[valid], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(got_logits)[valid], want_logits[valid], rtol=2e-4, atol=2e-3)
+
+
+def test_prefill_then_decode_matches_full_forward(hf_pair):
+    _, params, cfg = hf_pair
+    rng = np.random.default_rng(1)
+    B, T = 2, 8
+    MAX = 16
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(B, T)))
+
+    # full forward over T tokens
+    full_hidden, _ = llama.forward(params, cfg, llama.embed(params, ids))
+
+    # prefill T-1, then decode token T-1
+    cache = llama.KVCache.init(cfg, B, MAX, dtype=jnp.float32)
+    _, cache = llama.forward(params, cfg, llama.embed(params, ids[:, :-1]),
+                             cache=cache)
+    step_hidden, cache2 = llama.forward_decode(
+        params, cfg, llama.embed(params, ids[:, -1:]), cache)
+    np.testing.assert_allclose(np.asarray(step_hidden),
+                               np.asarray(full_hidden[:, -1:]),
+                               rtol=1e-4, atol=1e-4)
+    assert int(cache2.length[0]) == T
+
+
+def test_remat_matches(hf_pair):
+    _, params, cfg = hf_pair
+    ids = jnp.asarray(np.arange(12).reshape(1, 12) % cfg.vocab_size)
+    embeds = llama.embed(params, ids)
+    h1, _ = llama.forward(params, cfg, embeds, remat=False)
+    h2, _ = llama.forward(params, cfg, embeds, remat=True)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-5,
+                               atol=1e-5)
