@@ -10,7 +10,6 @@ and per-layer weights are stacked along a leading layer dim for scan.
 
 from __future__ import annotations
 
-import re
 from typing import Any, Dict, Mapping
 
 import numpy as np
@@ -213,24 +212,42 @@ def sam_from_torch(sd: Mapping[str, Any], cfg: SamConfig) -> Dict[str, Any]:
         return {"weight": _stack(sd, lt + sub + ".weight", L),
                 "bias": _stack(sd, lt + sub + ".bias", L)}
 
+    def stk_rel_pos(sub):
+        # window blocks have [2*ws-1, d] tables, global blocks [2*grid-1, d];
+        # pad to the max so the block stack is uniform (apply code only
+        # indexes rows < 2*size-1, padding is never read)
+        ws = [to_np(sd[lt.format(i=i) + sub]) for i in range(L)]
+        max_len = max(w.shape[0] for w in ws)
+        return np.stack([
+            np.pad(w, ((0, max_len - w.shape[0]), (0, 0))) for w in ws])
+
     blocks = {
         "norm1": stk_ln("norm1"),
         "attn": {
             "qkv": stk_lin("attn.qkv"),
             "proj": stk_lin("attn.proj"),
-            "rel_pos_h": _stack(sd, lt + "attn.rel_pos_h", L),
-            "rel_pos_w": _stack(sd, lt + "attn.rel_pos_w", L),
+            "rel_pos_h": stk_rel_pos("attn.rel_pos_h"),
+            "rel_pos_w": stk_rel_pos("attn.rel_pos_w"),
         },
         "norm2": stk_ln("norm2"),
         "mlp": {"lin1": stk_lin("mlp.lin1"), "lin2": stk_lin("mlp.lin2")},
     }
     if cfg.use_adapter:
-        # Adapter_Layer per block (image_encoder.py:18-56): channel MLP
-        # (linear1/linear2), spatial conv, plus learned gamma scaling.
+        # Adapter_Layer per block (image_encoder.py:18-56): SE channel gate
+        # (channel.0/channel.2 linears, no bias), spatial conv (spatial.0) +
+        # convtranspose (spatial.2, kept in torch [Cin,Cout,kh,kw] layout —
+        # converted at apply time), then LayerNorm.
         blocks["adapter"] = {
-            "linear1": stk_lin("Adapter.linear1"),
-            "linear2": stk_lin("Adapter.linear2"),
-            "conv": _sam_adapter_conv(sd, lt, L),
+            "channel_fc1": {"kernel": _stack(
+                sd, lt + "Adapter.channel.0.weight", L, transpose=True)},
+            "channel_fc2": {"kernel": _stack(
+                sd, lt + "Adapter.channel.2.weight", L, transpose=True)},
+            "spatial_conv": {"kernel": np.stack([
+                to_np(sd[lt.format(i=i) + "Adapter.spatial.0.weight"]
+                      ).transpose(2, 3, 1, 0) for i in range(L)])},
+            "spatial_convt": {"kernel": _stack(
+                sd, lt + "Adapter.spatial.2.weight", L)},
+            "norm": stk_ln("Adapter.norm"),
         }
     enc["blocks"] = blocks
     enc["neck"] = {
@@ -256,19 +273,6 @@ def sam_from_torch(sd: Mapping[str, Any], cfg: SamConfig) -> Dict[str, Any]:
 
     md = _sam_mask_decoder(sd, cfg)
     return {"image_encoder": enc, "prompt_encoder": pe, "mask_decoder": md}
-
-
-def _sam_adapter_conv(sd, lt, L):
-    """Adapter depthwise/spatial conv weights, stacked (shape depends on the
-    released checkpoint; pass through as NHWC kernels)."""
-    keys = [k for k in sd if re.match(lt.format(i=0).replace(".", r"\.") +
-                                      r"Adapter.*conv.*weight", k)]
-    if not keys:
-        return None
-    sub = keys[0][len(lt.format(i=0)):-len(".weight")]
-    w = _stack(sd, lt + sub + ".weight", L)
-    return {"kernel": np.moveaxis(w, 1, -1),
-            "bias": _stack(sd, lt + sub + ".bias", L)}
 
 
 def _sam_mask_downscaling(sd):
