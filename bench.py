@@ -1,0 +1,76 @@
+"""Headline benchmark: end-to-end pixel-grounding throughput (masks/sec/chip).
+
+Measures the full flagship path on one TPU chip — CLIP ViT-L/14-336 encode,
+projector, multimodal splice, LLaMA-7B-class prefill (576 image tokens +
+text), greedy decode of the answer span, SAM-Med2D encode, <SEG>-driven
+prompt-encode + mask-decode + postprocess — i.e. BASELINE.json config 4
+(eval_seg). Random bf16 weights (throughput is weight-value independent).
+
+Baseline constant: the reference pipeline on one H100 decodes token-by-token
+through HF generate with flash-attn (model_worker.py:393-427, SURVEY.md §3.2)
+at roughly 30 tok/s for a LoRA-merged 7B in fp16, plus a sequential SAM
+encode+decode per sample — ~2.5 masks/s/GPU for a 10-token grounding answer.
+The north star in BASELINE.json is >=3x that per v5e chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+H100_REFERENCE_MASKS_PER_SEC = 2.5  # documented estimate, see module docstring
+
+SMALL = os.environ.get("BENCH_SMALL") == "1"
+
+
+def main():
+    import __graft_entry__ as ge
+    from medplib_tpu.models import medplib
+
+    num_layers = 4 if SMALL else 32
+    cfg = ge._flagship_cfg(num_layers=num_layers)
+    rng = np.random.default_rng(0)
+    params = medplib.init_medplib(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+
+    B = 2 if SMALL else 4
+    T_in = 48  # prompt tokens incl. <image> sentinel (splices to ~623)
+    max_new = 10  # typical grounding answer: "It is <SEG>." + stop
+    batch = ge._make_batch(cfg, B=B, T=T_in, rng=rng)
+
+    gen = jax.jit(
+        lambda p, b: medplib.generate(p, cfg, b, max_new_tokens=max_new),
+        static_argnums=())
+
+    def run_once(b):
+        res = gen(params, b)
+        # force a host read: on the axon tunnel block_until_ready does NOT
+        # synchronize with device execution, only a fetch does
+        return float(jnp.sum(res.pred_masks))
+
+    run_once(batch)  # compile + warm
+    iters = 3 if SMALL else 5
+    t0 = time.time()
+    for i in range(iters):
+        # perturb input so no caching layer can elide work
+        b = batch._replace(
+            input_ids=batch.input_ids.at[0, 5].set(100 + i))
+        run_once(b)
+    dt = (time.time() - t0) / iters
+    masks_per_sec = B / dt
+
+    print(json.dumps({
+        "metric": "pixel_grounding_masks_per_sec_per_chip",
+        "value": round(masks_per_sec, 3),
+        "unit": "masks/s",
+        "vs_baseline": round(masks_per_sec / H100_REFERENCE_MASKS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

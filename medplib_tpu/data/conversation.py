@@ -1,0 +1,157 @@
+"""Conversation prompt templates.
+
+Behavioral rebuild of /root/reference/model/medplib/conversation.py:6-395
+(the reference ships three near-identical copies — conversation.py,
+conversation_demo.py, utils/conversation.py; one canonical module here).
+`llava_v1` is the training template, `v1` the eval template (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import List, Optional, Tuple
+
+
+class SeparatorStyle(enum.Enum):
+    SINGLE = enum.auto()
+    TWO = enum.auto()
+    MPT = enum.auto()
+    PLAIN = enum.auto()
+    LLAMA_2 = enum.auto()
+
+
+@dataclasses.dataclass
+class Conversation:
+    system: str
+    roles: Tuple[str, str]
+    messages: List[List[Optional[str]]]
+    offset: int = 0
+    sep_style: SeparatorStyle = SeparatorStyle.SINGLE
+    sep: str = "###"
+    sep2: Optional[str] = None
+    version: str = "Unknown"
+
+    def get_prompt(self) -> str:
+        messages = self.messages
+        if self.sep_style == SeparatorStyle.SINGLE:
+            ret = self.system + self.sep
+            for role, message in messages:
+                if message:
+                    ret += role + ": " + message + self.sep
+                else:
+                    ret += role + ":"
+            return ret
+        if self.sep_style == SeparatorStyle.TWO:
+            seps = [self.sep, self.sep2]
+            ret = self.system + seps[0]
+            for i, (role, message) in enumerate(messages):
+                if message:
+                    ret += role + ": " + message + seps[i % 2]
+                else:
+                    ret += role + ":"
+            return ret
+        if self.sep_style == SeparatorStyle.MPT:
+            ret = self.system + self.sep
+            for role, message in messages:
+                if message:
+                    ret += role + message + self.sep
+                else:
+                    ret += role
+            return ret
+        if self.sep_style == SeparatorStyle.LLAMA_2:
+            def wrap_sys(msg):
+                return f"<<SYS>>\n{msg}\n<</SYS>>\n\n"
+
+            def wrap_inst(msg):
+                return f"[INST] {msg} [/INST]"
+
+            ret = ""
+            for i, (role, message) in enumerate(messages):
+                if message:
+                    if i == 0:
+                        message = wrap_sys(self.system) + message
+                    if i % 2 == 0:
+                        ret += self.sep + wrap_inst(message)
+                    else:
+                        ret += " " + message + " " + self.sep2
+            return ret.lstrip(self.sep)
+        if self.sep_style == SeparatorStyle.PLAIN:
+            seps = [self.sep, self.sep2]
+            ret = self.system
+            for i, (role, message) in enumerate(messages):
+                if message:
+                    ret += message + seps[i % 2]
+            return ret
+        raise ValueError(f"invalid separator style {self.sep_style}")
+
+    def append_message(self, role: str, message: Optional[str]):
+        self.messages.append([role, message])
+
+    def copy(self) -> "Conversation":
+        return Conversation(
+            system=self.system, roles=self.roles,
+            messages=[[r, m] for r, m in self.messages], offset=self.offset,
+            sep_style=self.sep_style, sep=self.sep, sep2=self.sep2,
+            version=self.version)
+
+
+conv_vicuna_v0 = Conversation(
+    system="A chat between a curious human and an artificial intelligence "
+    "assistant. The assistant gives helpful, detailed, and polite answers to "
+    "the human's questions.",
+    roles=("Human", "Assistant"), messages=[], offset=0,
+    sep_style=SeparatorStyle.SINGLE, sep="###", version="v0")
+
+conv_vicuna_v1 = Conversation(
+    system="A chat between a curious user and an artificial intelligence "
+    "assistant. The assistant gives helpful, detailed, and polite answers to "
+    "the user's questions.",
+    roles=("USER", "ASSISTANT"), version="v1", messages=[], offset=0,
+    sep_style=SeparatorStyle.TWO, sep=" ", sep2="</s>")
+
+conv_llama_2 = Conversation(
+    system="You are a helpful language and vision assistant. You are able to "
+    "understand the visual content that the user provides, and assist the "
+    "user with a variety of tasks using natural language.",
+    roles=("USER", "ASSISTANT"), version="llama_v2", messages=[], offset=0,
+    sep_style=SeparatorStyle.LLAMA_2, sep="<s>", sep2="</s>")
+
+conv_llava_plain = Conversation(
+    system="", roles=("", ""), messages=[], offset=0,
+    sep_style=SeparatorStyle.PLAIN, sep="\n")
+
+conv_llava_v0 = Conversation(
+    system="A chat between a curious human and an artificial intelligence "
+    "assistant. The assistant gives helpful, detailed, and polite answers to "
+    "the human's questions.",
+    roles=("Human", "Assistant"), messages=[], offset=0,
+    sep_style=SeparatorStyle.SINGLE, sep="###")
+
+conv_llava_v1 = Conversation(
+    system="A chat between a curious human and an artificial intelligence "
+    "assistant. The assistant gives helpful, detailed, and polite answers to "
+    "the human's questions.",
+    roles=("USER", "ASSISTANT"), version="v1", messages=[], offset=0,
+    sep_style=SeparatorStyle.TWO, sep=" ", sep2="</s>")
+
+conv_mpt = Conversation(
+    system="<|im_start|>system\nA conversation between a user and an LLM-based "
+    "AI assistant. The assistant gives helpful and honest answers.",
+    roles=("<|im_start|>user\n", "<|im_start|>assistant\n"), messages=[],
+    offset=0, sep_style=SeparatorStyle.MPT, sep="<|im_end|>", version="mpt")
+
+default_conversation = conv_vicuna_v1
+conv_templates = {
+    "default": conv_vicuna_v0,
+    "v0": conv_vicuna_v0,
+    "v1": conv_vicuna_v1,
+    "vicuna_v1": conv_vicuna_v1,
+    "llama_2": conv_llama_2,
+    "plain": conv_llava_plain,
+    "v0_plain": conv_llava_plain,
+    "llava_v0": conv_llava_v0,
+    "llava_v1": conv_llava_v1,
+    "llava_llama_2": conv_llama_2,
+    "mpt": conv_mpt,
+}

@@ -103,6 +103,7 @@ def _attention(p: Params, x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
 def embeddings(p: Params, pixel_values: jnp.ndarray, cfg: ClipVisionConfig):
     """pixel_values: [B, H, W, 3] (NHWC) -> [B, 1+P, hidden]."""
     b = pixel_values.shape[0]
+    pixel_values = pixel_values.astype(p["patch_embedding"]["kernel"].dtype)
     patches = jax.lax.conv_general_dilated(
         pixel_values, p["patch_embedding"]["kernel"],
         window_strides=(cfg.patch_size, cfg.patch_size), padding="VALID",

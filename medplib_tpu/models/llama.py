@@ -103,6 +103,12 @@ def dense_mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return (jax.nn.silu(gate) * up) @ p["down_proj"]["kernel"]
 
 
+def dense_mlp_layer(layer_params: Params, x: jnp.ndarray):
+    """Default MlpApply: full layer params in, (output, aux_loss) out. The
+    MoE variant plugs in moe_llama.moe_mlp_layer here."""
+    return dense_mlp(layer_params["mlp"], x), jnp.zeros((), jnp.float32)
+
+
 def _qkv(p: Params, x: jnp.ndarray, cfg: LlamaConfig, cos, sin):
     b, t, _ = x.shape
     q = (x @ p["q_proj"]["kernel"]).reshape(b, t, cfg.num_heads, cfg.head_dim)
@@ -111,7 +117,8 @@ def _qkv(p: Params, x: jnp.ndarray, cfg: LlamaConfig, cos, sin):
     return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
 
 
-MlpApply = Callable[[Params, jnp.ndarray], jnp.ndarray]
+# (full layer params, normed hidden) -> (mlp output, aux loss scalar)
+MlpApply = Callable[[Params, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
 
 
 def decoder_layer_prefill(
@@ -124,8 +131,8 @@ def decoder_layer_prefill(
     b, t = x.shape[:2]
     x = x + attn.reshape(b, t, -1) @ p["attn"]["o_proj"]["kernel"]
     h = rms_norm(x, p["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
-    x = x + mlp_apply(p["mlp"], h)
-    return x, (k, v)
+    y, aux = mlp_apply(p, h)
+    return x + y, (k, v), aux
 
 
 def decoder_layer_decode(
@@ -145,8 +152,8 @@ def decoder_layer_decode(
     attn = decode_attention(q, k_cache, v_cache, length + 1)
     x = x + attn.reshape(b, 1, -1) @ p["attn"]["o_proj"]["kernel"]
     h = rms_norm(x, p["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
-    x = x + mlp_apply(p["mlp"], h)
-    return x, (k_cache, v_cache)
+    y, _ = mlp_apply(p, h)
+    return x + y, (k_cache, v_cache)
 
 
 def forward(
@@ -155,7 +162,7 @@ def forward(
     input_embeds: jnp.ndarray,
     attn_mask: Optional[jnp.ndarray] = None,
     positions: Optional[jnp.ndarray] = None,
-    mlp_apply: MlpApply = dense_mlp,
+    mlp_apply: MlpApply = dense_mlp_layer,
     cache: Optional[KVCache] = None,
     remat: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
@@ -165,7 +172,7 @@ def forward(
     upstream — mirrors `inputs_embeds` in the reference's
     prepare_inputs_labels_for_multimodal contract, medplib_arch.py:217-527).
 
-    Returns (hidden_post_norm [B, T, H], cache'|None). When `cache` is given,
+    Returns (hidden_post_norm [B, T, H], cache'|None, aux_loss). When `cache` is given,
     the freshly computed K/V are written at positions [0, T) and
     cache.length is set from attn_mask row sums (left-aligned sequences).
     """
@@ -175,13 +182,15 @@ def forward(
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
     def body(x, layer_p):
-        x, kv = decoder_layer_prefill(layer_p, x, cfg, cos, sin, attn_mask,
-                                      mlp_apply)
-        return x, kv
+        x, kv, aux = decoder_layer_prefill(layer_p, x, cfg, cos, sin,
+                                           attn_mask, mlp_apply)
+        return x, (kv, aux)
 
     if remat:
         body = jax.checkpoint(body)
-    x, (ks, vs) = jax.lax.scan(body, input_embeds, params["layers"])
+    x, ((ks, vs), aux_losses) = jax.lax.scan(body, input_embeds,
+                                             params["layers"])
+    aux_loss = jnp.sum(aux_losses)
     x = rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps)
 
     new_cache = None
@@ -196,7 +205,7 @@ def forward(
             length = jnp.full((b,), t, jnp.int32)
         new_cache = KVCache(k=ks.astype(cache.k.dtype),
                             v=vs.astype(cache.v.dtype), length=length)
-    return x, new_cache
+    return x, new_cache, aux_loss
 
 
 def forward_decode(
@@ -204,7 +213,7 @@ def forward_decode(
     cfg: LlamaConfig,
     input_embeds: jnp.ndarray,
     cache: KVCache,
-    mlp_apply: MlpApply = dense_mlp,
+    mlp_apply: MlpApply = dense_mlp_layer,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One decode step. input_embeds [B, 1, H] -> (hidden [B, 1, H], cache')."""
     positions = cache.length[:, None]  # [B, 1]

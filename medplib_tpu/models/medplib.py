@@ -1,0 +1,405 @@
+"""MedPLIB composite model: CLIP -> (MoE-)LLaMA -> SAM-Med2D.
+
+Rebuild of /root/reference/model/MedPLIB.py (MedPLIBForCausalLM) and
+model/LISA.py (the dense variant is this model with cfg.moe.enable=False),
+TPU-first. The reference's Python hot loops (SURVEY.md §3.1 hot-loop list)
+become batched XLA:
+
+  (a) per-image SAM encoder loop (MedPLIB.py:277-282)  -> one batched encode
+  (b) per-token multimodal splice (medplib_arch.py)    -> ops/splice.py gathers
+  (e) per-SEG-token prompt/mask-decoder loop (473-502) -> one batched decode
+
+Everything here is jit-compatible with static shapes: the collator provides
+fixed [B, T_in] token buffers, MAX_IMG image slots, MAX_REG region slots and
+MAX_SEG mask slots with validity flags.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from medplib_tpu.config import MedplibConfig
+from medplib_tpu.models import clip, llama, losses, moe_llama, projector, sam_med2d
+from medplib_tpu.ops import splice as splice_ops
+from medplib_tpu.ops.initializers import dense_init
+
+Params = Dict[str, Any]
+
+
+class Batch(NamedTuple):
+    """Static-shape training/eval batch (collator contract, mirrors
+    DataCollatorForSupervisedDataset.py:11-138)."""
+
+    input_ids: jnp.ndarray        # [B, T_in] with sentinel ids
+    input_mask: jnp.ndarray       # [B, T_in]
+    labels: jnp.ndarray           # [B, T_in] (IGNORE_INDEX outside targets)
+    images_clip: jnp.ndarray      # [B, MAX_IMG, S, S, 3] CLIP-preprocessed
+    images_sam: jnp.ndarray       # [B, S', S', 3] SAM-preprocessed pixels
+    image_token_lengths: jnp.ndarray  # [B, MAX_IMG] (0 = unused slot)
+    image_is_mask: jnp.ndarray    # [B, MAX_IMG] ICL mask-encoder slots
+    mask_images: jnp.ndarray      # [B, MAX_IMG, Sm, Sm] ICL example masks
+    region_masks: jnp.ndarray     # [B, MAX_REG, 24, 24]
+    region_valid: jnp.ndarray     # [B, MAX_REG]
+    gt_masks: jnp.ndarray         # [B, MAX_SEG, Hm, Wm] (SAM frame)
+    mask_valid: jnp.ndarray       # [B, MAX_SEG]
+
+    @staticmethod
+    def make(input_ids, input_mask, labels, images_clip, images_sam,
+             image_token_lengths, *, image_is_mask=None, mask_images=None,
+             region_masks=None, region_valid=None, gt_masks=None,
+             mask_valid=None, mask_size=256, sam_frame=256):
+        b = input_ids.shape[0]
+        max_img = image_token_lengths.shape[1]
+        z = jnp.zeros
+        return Batch(
+            input_ids=input_ids, input_mask=input_mask, labels=labels,
+            images_clip=images_clip, images_sam=images_sam,
+            image_token_lengths=image_token_lengths,
+            image_is_mask=(image_is_mask if image_is_mask is not None
+                           else z((b, max_img), jnp.int32)),
+            mask_images=(mask_images if mask_images is not None
+                         else z((b, max_img, mask_size, mask_size))),
+            region_masks=(region_masks if region_masks is not None
+                          else z((b, 1, 24, 24))),
+            region_valid=(region_valid if region_valid is not None
+                          else z((b, 1), bool)),
+            gt_masks=(gt_masks if gt_masks is not None
+                      else z((b, 1, sam_frame, sam_frame))),
+            mask_valid=(mask_valid if mask_valid is not None
+                        else z((b, 1), bool)),
+        )
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init_medplib(key, cfg: MedplibConfig, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, 8)
+    h = cfg.llm.hidden_size
+    if cfg.moe.enable:
+        llm = moe_llama.init_moe_llama(ks[0], cfg.llm, cfg.moe, dtype,
+                                       cfg.vocab_size_padded)
+    else:
+        llm = llama.init_llama(ks[0], cfg.llm, dtype, cfg.vocab_size_padded)
+    params = {
+        "llm": llm,
+        "clip": clip.init_clip_vision(ks[1], cfg.vision, dtype),
+        "mm_projector": projector.init_projector(ks[2], cfg.projector, dtype),
+        "region_fea_adapter": projector.init_region_adapter(
+            ks[3], cfg.projector.mm_hidden_size, h, dtype),
+        "sam": sam_med2d.init_sam(ks[4], cfg.sam, jnp.float32),
+        # text_hidden_fcs: Linear(h,h) -> ReLU -> Linear(h,out) -> Dropout(0)
+        # (MedPLIB.py:152-160)
+        "text_hidden_fcs": {
+            "fc1": {"kernel": dense_init(ks[5], h, h, dtype),
+                    "bias": jnp.zeros((h,), dtype)},
+            "fc2": {"kernel": dense_init(ks[6], h, cfg.seg.out_dim, dtype),
+                    "bias": jnp.zeros((cfg.seg.out_dim,), dtype)},
+        },
+    }
+    if cfg.projector.token_compress:
+        params["mm_token_compressor"] = projector.init_token_compressor(
+            ks[7], h, dtype)
+    if cfg.projector.mask_encoder:
+        params["mask_encoder"] = projector.init_mask_encoder(ks[7], h, dtype)
+    return params
+
+
+def text_hidden_fcs(p: Params, hidden: jnp.ndarray) -> jnp.ndarray:
+    x = hidden @ p["fc1"]["kernel"] + p["fc1"]["bias"]
+    x = jax.nn.relu(x)
+    return x @ p["fc2"]["kernel"] + p["fc2"]["bias"]
+
+
+# ---------------------------------------------------------------------------
+# encoders
+# ---------------------------------------------------------------------------
+
+def image_tokens_per_image(cfg: MedplibConfig) -> int:
+    if cfg.projector.token_compress:
+        return cfg.projector.compress_tokens
+    return cfg.vision.num_patches
+
+
+def encode_images(params: Params, cfg: MedplibConfig,
+                  images_clip: jnp.ndarray, image_is_mask: jnp.ndarray,
+                  mask_images: jnp.ndarray, need_region: bool):
+    """images_clip: [B, MAX_IMG, S, S, 3] -> feature buffer [B, MAX_IMG*Lmax,
+    H] plus the raw CLIP patch features of image slot 0 (region pooling
+    source, medplib_arch.py:198-212)."""
+    b, n_img = images_clip.shape[:2]
+    flat = images_clip.reshape((b * n_img,) + images_clip.shape[2:])
+    raw = clip.forward_features(params["clip"], flat, cfg.vision)
+    raw = jax.lax.stop_gradient(raw)  # frozen tower (clip_encoder.py:28)
+    proj = projector.apply_projector(params["mm_projector"], raw)
+    if cfg.projector.token_compress:
+        proj = projector.apply_token_compressor(
+            params["mm_token_compressor"], proj,
+            cfg.projector.compress_tokens)
+    l_img = proj.shape[1]
+
+    if cfg.projector.mask_encoder:
+        mflat = mask_images.reshape((b * n_img,) + mask_images.shape[2:])
+        mask_feats = projector.apply_mask_encoder(
+            params["mask_encoder"], mflat, cfg.projector.mask_encoder_tokens)
+        l_max = max(l_img, cfg.projector.mask_encoder_tokens)
+        proj = jnp.pad(proj, ((0, 0), (0, l_max - proj.shape[1]), (0, 0)))
+        mask_feats = jnp.pad(
+            mask_feats, ((0, 0), (0, l_max - mask_feats.shape[1]), (0, 0)))
+        sel = image_is_mask.reshape(b * n_img, 1, 1).astype(bool)
+        feats = jnp.where(sel, mask_feats, proj)
+    else:
+        l_max = l_img
+        feats = proj
+
+    buffer = feats.reshape(b, n_img * l_max, -1)
+    region_fmap = None
+    if need_region:
+        raw0 = raw.reshape(b, n_img, raw.shape[1], raw.shape[2])[:, 0]
+        region_fmap = projector.apply_region_adapter(
+            params["region_fea_adapter"], raw0)
+    return buffer, l_max, region_fmap
+
+
+def splice_batch(params: Params, cfg: MedplibConfig, batch: Batch,
+                 need_region: bool):
+    """Full multimodal input prep -> (embeds, labels, attn, seg_mask)."""
+    buffer, l_max, region_fmap = encode_images(
+        params, cfg, batch.images_clip, batch.image_is_mask,
+        batch.mask_images, need_region)
+    # feature rows for image i start at i * l_max (padded layout)
+    n_img = batch.images_clip.shape[1]
+    starts = (jnp.arange(n_img) * l_max)[None, :].astype(jnp.int32)
+    sm = splice_ops.compute_splice_map(
+        batch.input_ids, batch.input_mask, batch.image_token_lengths,
+        out_len=_out_len(cfg, batch), image_feat_starts=jnp.broadcast_to(
+            starts, batch.image_token_lengths.shape))
+
+    region_feats = None
+    if need_region:
+        region_feats = projector.region_pool(
+            region_fmap, batch.region_masks, batch.region_valid)
+
+    token_embeds = llama.embed(params["llm"], batch.input_ids)
+    embeds, labels_out, seg_mask = splice_ops.splice_embeddings(
+        sm, batch.input_ids, token_embeds, buffer,
+        region_features=region_feats, labels=batch.labels,
+        seg_token_idx=cfg.seg_token_idx)
+    return embeds, labels_out, sm.attn_mask, seg_mask, sm
+
+
+def _out_len(cfg: MedplibConfig, batch: Batch) -> int:
+    """Static spliced length: T_in + MAX_IMG * (tokens-per-image or mask
+    tokens, whichever larger) - MAX_IMG sentinel slots."""
+    per = image_tokens_per_image(cfg)
+    if cfg.projector.mask_encoder:
+        per = max(per, cfg.projector.mask_encoder_tokens)
+    n_img = batch.image_token_lengths.shape[1]
+    return batch.input_ids.shape[1] + n_img * (per - 1)
+
+
+# ---------------------------------------------------------------------------
+# LLM dispatch (dense vs MoE)
+# ---------------------------------------------------------------------------
+
+def _llm_forward(params, cfg: MedplibConfig, embeds, attn_mask, cache=None,
+                 train=True, remat=False, ep_shard=False):
+    if cfg.moe.enable:
+        return moe_llama.forward(params["llm"], cfg.llm, cfg.moe, embeds,
+                                 attn_mask, cache=cache, remat=remat,
+                                 train=train, ep_shard=ep_shard)
+    return llama.forward(params["llm"], cfg.llm, embeds, attn_mask,
+                         cache=cache, remat=remat)
+
+
+def _llm_decode(params, cfg: MedplibConfig, embeds, cache, ep_shard=False):
+    if cfg.moe.enable:
+        return moe_llama.forward_decode(params["llm"], cfg.llm, cfg.moe,
+                                        embeds, cache, ep_shard=ep_shard)
+    return llama.forward_decode(params["llm"], cfg.llm, embeds, cache)
+
+
+# ---------------------------------------------------------------------------
+# seg decode head (batched over every SEG slot in the batch)
+# ---------------------------------------------------------------------------
+
+def decode_seg_masks(params: Params, cfg: MedplibConfig,
+                     sam_embeddings: jnp.ndarray, seg_embeds: jnp.ndarray,
+                     out_size: Optional[int] = None):
+    """sam_embeddings: [B, h, w, D]; seg_embeds: [B, S, out_dim]
+    -> (mask logits [B, S, out, out], iou [B, S])."""
+    b, s, d = seg_embeds.shape
+    text = seg_embeds.reshape(b * s, 1, d)
+    sparse, dense = sam_med2d.encode_prompts(
+        params["sam"]["prompt_encoder"], cfg.sam, b * s, text_embeds=text)
+    img = jnp.repeat(sam_embeddings, s, axis=0)
+    pe = sam_med2d.dense_pe(params["sam"]["prompt_encoder"], cfg.sam)
+    low_res, iou = sam_med2d.decode_masks(
+        params["sam"]["mask_decoder"], cfg.sam, img, pe, sparse, dense,
+        multimask_output=False)
+    if out_size is None:
+        out_size = cfg.sam.image_size
+    masks = sam_med2d.postprocess_masks(low_res, out_size)
+    return (masks.reshape(b, s, out_size, out_size),
+            iou.reshape(b, s))
+
+
+# ---------------------------------------------------------------------------
+# training forward (model_forward, MedPLIB.py:364-572)
+# ---------------------------------------------------------------------------
+
+def model_forward(params: Params, cfg: MedplibConfig, batch: Batch,
+                  train: bool = True, seg_flag: bool = True,
+                  rp_flag: bool = False, remat: bool = True,
+                  ep_shard: bool = False, max_segs: Optional[int] = None):
+    embeds, labels_out, attn_mask, seg_mask, _ = splice_batch(
+        params, cfg, batch, need_region=rp_flag)
+    hidden, _, aux = _llm_forward(params, cfg, embeds, attn_mask,
+                                  train=train, remat=remat,
+                                  ep_shard=ep_shard)
+    logits = llama.logits(params["llm"], hidden)
+
+    ce = losses.cross_entropy_loss(logits, labels_out) * cfg.seg.ce_loss_weight
+    if cfg.moe.enable:
+        ce = ce + cfg.moe.router_aux_loss_coef * aux
+
+    out = {"ce_loss": ce}
+    if not seg_flag:
+        zero = jnp.zeros((), jnp.float32)
+        out.update(loss=ce, mask_bce_loss=zero, mask_dice_loss=zero,
+                   mask_loss=zero)
+        return out
+
+    sam_emb = jax.lax.stop_gradient(sam_med2d.encode_image(
+        params["sam"]["image_encoder"], batch.images_sam, cfg.sam))
+
+    s_max = max_segs or batch.gt_masks.shape[1]
+    proj_hidden = text_hidden_fcs(params["text_hidden_fcs"], hidden)
+    seg_embeds, seg_valid, _ = splice_ops.gather_seg_embeddings(
+        proj_hidden, seg_mask, s_max)
+
+    out_size = batch.gt_masks.shape[-1]
+    pred_masks, pred_iou = decode_seg_masks(params, cfg, sam_emb, seg_embeds,
+                                            out_size)
+
+    valid = (seg_valid & batch.mask_valid).reshape(-1)
+    pm = pred_masks.reshape((-1,) + pred_masks.shape[2:])
+    gm = batch.gt_masks.reshape((-1,) + batch.gt_masks.shape[2:])
+
+    bce = losses.sigmoid_ce_loss(pm, gm, valid)
+    dice = losses.dice_loss(pm, gm, valid)
+    iou_l = losses.mask_iou_loss(pm, gm, pred_iou.reshape(-1), valid)
+    focal = losses.focal_loss(pm, gm, valid)
+
+    mask_loss = (cfg.seg.bce_loss_weight * bce +
+                 cfg.seg.dice_loss_weight * dice +
+                 cfg.seg.iou_loss_weight * iou_l +
+                 cfg.seg.focal_loss_weight * focal)
+    out.update(
+        loss=ce + mask_loss,
+        mask_bce_loss=cfg.seg.bce_loss_weight * bce,
+        mask_dice_loss=cfg.seg.dice_loss_weight * dice,
+        mask_loss=mask_loss,
+        unscale_mask_bce_loss=bce, unscale_mask_dice_loss=dice,
+        unscale_mask_iou_loss=iou_l, unscale_mask_focal_loss=focal,
+    )
+    if not train:
+        out["pred_masks"] = pred_masks
+        out["seg_valid"] = seg_valid
+    return out
+
+
+# ---------------------------------------------------------------------------
+# generation (evaluate, MedPLIB.py:574-680): greedy decode with SEG-position
+# hidden-state capture INSIDE the loop (vs the reference's post-hoc concat of
+# per-step hidden states, 608-610)
+# ---------------------------------------------------------------------------
+
+class GenerateResult(NamedTuple):
+    output_ids: jnp.ndarray   # [B, MAX_NEW] generated tokens (pad after EOS)
+    num_generated: jnp.ndarray  # [B]
+    pred_masks: jnp.ndarray   # [B, out, out] mask logits for first SEG
+    has_seg: jnp.ndarray      # [B] bool
+
+
+def generate(params: Params, cfg: MedplibConfig, batch: Batch,
+             max_new_tokens: int = 64, eos_id: int = 2,
+             rp_flag: bool = False, out_size: Optional[int] = None,
+             ep_shard: bool = False) -> GenerateResult:
+    """Greedy decode + pixel grounding, fully jit-able.
+
+    Reproduces model.evaluate(): generate with hidden-state harvesting, find
+    the first <SEG> in the output, decode its (shifted) hidden state through
+    text_hidden_fcs -> SAM. Fallback when no SEG: second-to-last hidden
+    (MedPLIB.py:639-644).
+    """
+    b = batch.input_ids.shape[0]
+    embeds, _, attn_mask, seg_mask_prompt, _ = splice_batch(
+        params, cfg, batch, need_region=rp_flag)
+    t_out = embeds.shape[1]
+    max_len = t_out + max_new_tokens
+
+    cache = llama.KVCache.init(cfg.llm, b, max_len,
+                               dtype=embeds.dtype)
+    hidden, cache, _ = _llm_forward(params, cfg, embeds, attn_mask,
+                                    cache=cache, train=False,
+                                    ep_shard=ep_shard)
+    # hidden state of the LAST real token per row predicts the first new one
+    last_idx = jnp.maximum(jnp.sum(attn_mask, -1) - 1, 0)
+    last_hidden = jnp.take_along_axis(hidden, last_idx[:, None, None],
+                                      axis=1)  # [B, 1, H]
+    next_tok = jnp.argmax(
+        llama.logits(params["llm"], last_hidden)[:, 0], -1)
+
+    # prompt-side SEG capture (a SEG in the prompt, e.g. teacher-forced eval)
+    proj_prompt = text_hidden_fcs(params["text_hidden_fcs"], hidden)
+    p_emb, p_valid, _ = splice_ops.gather_seg_embeddings(
+        proj_prompt, seg_mask_prompt, 1)
+
+    seg_dim = cfg.seg.out_dim
+
+    def step(carry, _):
+        cache, tok, done, seg_emb, seg_found, prev_hidden = carry
+        emb = llama.embed(params["llm"], tok[:, None])
+        hidden, cache = _llm_decode(params, cfg, emb, cache,
+                                    ep_shard=ep_shard)
+        logits = llama.logits(params["llm"], hidden)[:, 0]
+        new_tok = jnp.argmax(logits, -1)
+        # SEG emitted now -> capture the PREVIOUS position's hidden state
+        # (shifted semantics, MedPLIB.py:615-625)
+        is_seg = (new_tok == cfg.seg_token_idx) & (~seg_found) & (~done)
+        cap = text_hidden_fcs(params["text_hidden_fcs"], prev_hidden)[:, 0]
+        seg_emb = jnp.where(is_seg[:, None], cap, seg_emb)
+        seg_found = seg_found | is_seg
+
+        new_tok = jnp.where(done, 0, new_tok)
+        new_done = done | (new_tok == eos_id)
+        return ((cache, new_tok, new_done, seg_emb, seg_found, hidden),
+                (tok, done))
+
+    init_emb = jnp.zeros((b, seg_dim), embeds.dtype)
+    carry = (cache, next_tok, jnp.zeros((b,), bool), init_emb,
+             jnp.zeros((b,), bool), last_hidden)
+    carry, (toks, dones) = jax.lax.scan(step, carry, None,
+                                        length=max_new_tokens)
+    _, _, _, seg_emb, seg_found, final_hidden = carry
+    output_ids = jnp.moveaxis(toks, 0, 1)  # [B, MAX_NEW]
+    num_generated = jnp.sum(~jnp.moveaxis(dones, 0, 1), axis=1)
+
+    # priority: prompt SEG > generated SEG > fallback (last hidden state)
+    fallback = text_hidden_fcs(params["text_hidden_fcs"], final_hidden)[:, 0]
+    seg_emb = jnp.where(seg_found[:, None], seg_emb, fallback)
+    seg_emb = jnp.where(p_valid[:, :1], p_emb[:, 0], seg_emb)
+    has_seg = seg_found | p_valid[:, 0]
+
+    sam_emb = sam_med2d.encode_image(params["sam"]["image_encoder"],
+                                     batch.images_sam, cfg.sam)
+    masks, _ = decode_seg_masks(params, cfg, sam_emb, seg_emb[:, None],
+                                out_size or cfg.sam.image_size)
+    return GenerateResult(output_ids=output_ids, num_generated=num_generated,
+                          pred_masks=masks[:, 0], has_seg=has_seg)

@@ -125,7 +125,7 @@ def apply_mask_encoder(p: Params, masks: jnp.ndarray, num_tokens: int) -> jnp.nd
     Four stride-2 3x3 convs (1->64->128->256->256, GELU between), flatten
     spatial, adaptive-avg-pool to num_tokens, proj 256->hidden, LayerNorm.
     """
-    x = masks[..., None]
+    x = masks[..., None].astype(p["convs"][0]["kernel"].dtype)
     for conv in p["convs"]:
         x = jax.lax.conv_general_dilated(
             x, conv["kernel"], window_strides=(2, 2),

@@ -300,6 +300,7 @@ def encode_image(params: Params, images: jnp.ndarray,
                  cfg: SamConfig) -> jnp.ndarray:
     """images: [B, H, W, 3] already pixel-normalized -> [B, h, w, 256]
     image embeddings (h = w = image_size/16)."""
+    images = images.astype(params["patch_embed"]["kernel"].dtype)
     x = jax.lax.conv_general_dilated(
         images, params["patch_embed"]["kernel"],
         window_strides=(cfg.patch_size, cfg.patch_size), padding="VALID",

@@ -95,27 +95,41 @@ def moe_llama_from_hf(sd: Mapping[str, Any], cfg: LlamaConfig,
     merged HF checkpoints as
       layers.{i}.mlp.deepspeed_moe.gate.wg.weight          [E, H]
       layers.{i}.mlp.deepspeed_moe.experts.deepspeed_experts.{e}.{gate,up,down}_proj.weight
-    (reference merge tool: merge_lora_weights_and_save_hf_model_moe.py)."""
+    (reference merge tool: merge_lora_weights_and_save_hf_model_moe.py).
+
+    Router/expert stacks cover ALL layers (scan uniformity, see
+    models/moe_llama.py); rows for non-MoE layers are zeros and never read.
+    """
     params = llama_from_hf(
         {k: v for k, v in sd.items()
          if ".mlp.deepspeed_moe" not in k} | _dense_mlp_placeholder(sd, cfg, prefix),
         cfg, prefix)
     lt = prefix + "layers.{i}.mlp.deepspeed_moe."
-    moe = {"router": {"kernel": []}, "experts": {
-        "gate_proj": {"kernel": []}, "up_proj": {"kernel": []},
-        "down_proj": {"kernel": []}}}
-    for i in moe_layer_indices:
-        base = lt.format(i=i)
-        moe["router"]["kernel"].append(to_np(sd[base + "gate.wg.weight"]).T)
-        for name in ("gate_proj", "up_proj", "down_proj"):
-            ws = [to_np(sd[f"{base}experts.deepspeed_experts.{e}.{name}.weight"]).T
-                  for e in range(num_experts)]
-            moe["experts"][name]["kernel"].append(np.stack(ws))
-    params["moe"] = {
-        "router": {"kernel": np.stack(moe["router"]["kernel"])},
+    h, m = cfg.hidden_size, cfg.intermediate_size
+    moe_set = set(moe_layer_indices)
+    routers, gk, uk, dk = [], [], [], []
+    for i in range(cfg.num_layers):
+        if i in moe_set:
+            base = lt.format(i=i)
+            routers.append(to_np(sd[base + "gate.wg.weight"]).T)
+            for name, acc in (("gate_proj", gk), ("up_proj", uk),
+                              ("down_proj", dk)):
+                ws = [to_np(
+                    sd[f"{base}experts.deepspeed_experts.{e}.{name}.weight"]).T
+                    for e in range(num_experts)]
+                acc.append(np.stack(ws))
+        else:
+            routers.append(np.zeros((h, num_experts), np.float32))
+            gk.append(np.zeros((num_experts, h, m), np.float32))
+            uk.append(np.zeros((num_experts, h, m), np.float32))
+            dk.append(np.zeros((num_experts, m, h), np.float32))
+    params["layers"]["moe"] = {
+        "router": {"kernel": np.stack(routers)},
         "experts": {
-            n: {"kernel": np.stack(moe["experts"][n]["kernel"])}
-            for n in ("gate_proj", "up_proj", "down_proj")},
+            "gate_proj": {"kernel": np.stack(gk)},
+            "up_proj": {"kernel": np.stack(uk)},
+            "down_proj": {"kernel": np.stack(dk)},
+        },
     }
     return params
 

@@ -3,7 +3,7 @@ sharding and collectives are exercised without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon/tpu platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -11,4 +11,8 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The session env pins JAX_PLATFORMS=axon (TPU tunnel); the config update is
+# what actually wins over the plugin, the env var alone does not.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for tests"

@@ -57,7 +57,7 @@ def test_forward_parity(hf_pair):
     want_hidden = out.hidden_states[-1].numpy()
 
     embeds = llama.embed(params, jnp.asarray(ids_m))
-    hidden, _ = llama.forward(params, cfg, embeds, jnp.asarray(mask))
+    hidden, _, _ = llama.forward(params, cfg, embeds, jnp.asarray(mask))
     got_logits = llama.logits(params, hidden)
 
     valid = mask.astype(bool)
@@ -75,12 +75,12 @@ def test_prefill_then_decode_matches_full_forward(hf_pair):
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(B, T)))
 
     # full forward over T tokens
-    full_hidden, _ = llama.forward(params, cfg, llama.embed(params, ids))
+    full_hidden, _, _ = llama.forward(params, cfg, llama.embed(params, ids))
 
     # prefill T-1, then decode token T-1
     cache = llama.KVCache.init(cfg, B, MAX, dtype=jnp.float32)
-    _, cache = llama.forward(params, cfg, llama.embed(params, ids[:, :-1]),
-                             cache=cache)
+    _, cache, _ = llama.forward(params, cfg, llama.embed(params, ids[:, :-1]),
+                                cache=cache)
     step_hidden, cache2 = llama.forward_decode(
         params, cfg, llama.embed(params, ids[:, -1:]), cache)
     np.testing.assert_allclose(np.asarray(step_hidden),
@@ -93,7 +93,7 @@ def test_remat_matches(hf_pair):
     _, params, cfg = hf_pair
     ids = jnp.asarray(np.arange(12).reshape(1, 12) % cfg.vocab_size)
     embeds = llama.embed(params, ids)
-    h1, _ = llama.forward(params, cfg, embeds, remat=False)
-    h2, _ = llama.forward(params, cfg, embeds, remat=True)
+    h1, _, _ = llama.forward(params, cfg, embeds, remat=False)
+    h2, _, _ = llama.forward(params, cfg, embeds, remat=True)
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-5,
                                atol=1e-5)
