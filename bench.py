@@ -38,14 +38,15 @@ def main():
     rng = np.random.default_rng(0)
     params = medplib.init_medplib(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
 
-    B = 2 if SMALL else 4
+    # B=2: 7B bf16 params (~14.5G with towers) + KV cache must fit 16G HBM
+    B = 2
     T_in = 48  # prompt tokens incl. <image> sentinel (splices to ~623)
     max_new = 10  # typical grounding answer: "It is <SEG>." + stop
     batch = ge._make_batch(cfg, B=B, T=T_in, rng=rng)
 
     gen = jax.jit(
-        lambda p, b: medplib.generate(p, cfg, b, max_new_tokens=max_new),
-        static_argnums=())
+        lambda p, b: medplib.generate(p, cfg, b, max_new_tokens=max_new,
+                                      unroll_layers=True))
 
     def run_once(b):
         res = gen(params, b)

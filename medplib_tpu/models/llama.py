@@ -27,6 +27,7 @@ from medplib_tpu.ops.attention import causal_attention, decode_attention
 from medplib_tpu.ops.initializers import dense_init, embed_init
 from medplib_tpu.ops.norms import rms_norm
 from medplib_tpu.ops.rope import apply_rope, rope_cos_sin
+from medplib_tpu.train.lora import linear as lora_linear
 
 Params = Dict[str, Any]
 
@@ -97,10 +98,10 @@ def init_llama(key, cfg: LlamaConfig, dtype=jnp.float32,
 # ---------------------------------------------------------------------------
 
 def dense_mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """SwiGLU: down(silu(gate(x)) * up(x))."""
-    gate = x @ p["gate_proj"]["kernel"]
-    up = x @ p["up_proj"]["kernel"]
-    return (jax.nn.silu(gate) * up) @ p["down_proj"]["kernel"]
+    """SwiGLU: down(silu(gate(x)) * up(x)). LoRA-aware linears."""
+    gate = lora_linear(p["gate_proj"], x)
+    up = lora_linear(p["up_proj"], x)
+    return lora_linear(p["down_proj"], jax.nn.silu(gate) * up)
 
 
 def dense_mlp_layer(layer_params: Params, x: jnp.ndarray):
@@ -111,9 +112,11 @@ def dense_mlp_layer(layer_params: Params, x: jnp.ndarray):
 
 def _qkv(p: Params, x: jnp.ndarray, cfg: LlamaConfig, cos, sin):
     b, t, _ = x.shape
-    q = (x @ p["q_proj"]["kernel"]).reshape(b, t, cfg.num_heads, cfg.head_dim)
-    k = (x @ p["k_proj"]["kernel"]).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-    v = (x @ p["v_proj"]["kernel"]).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    q = lora_linear(p["q_proj"], x).reshape(b, t, cfg.num_heads, cfg.head_dim)
+    k = lora_linear(p["k_proj"], x).reshape(b, t, cfg.num_kv_heads,
+                                            cfg.head_dim)
+    v = lora_linear(p["v_proj"], x).reshape(b, t, cfg.num_kv_heads,
+                                            cfg.head_dim)
     return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
 
 
@@ -129,7 +132,7 @@ def decoder_layer_prefill(
     q, k, v = _qkv(p["attn"], h, cfg, cos, sin)
     attn = causal_attention(q, k, v, attn_mask)
     b, t = x.shape[:2]
-    x = x + attn.reshape(b, t, -1) @ p["attn"]["o_proj"]["kernel"]
+    x = x + lora_linear(p["attn"]["o_proj"], attn.reshape(b, t, -1))
     h = rms_norm(x, p["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
     y, aux = mlp_apply(p, h)
     return x + y, (k, v), aux
@@ -150,7 +153,7 @@ def decoder_layer_decode(
     k_cache = k_cache.at[bidx, length].set(k[:, 0])
     v_cache = v_cache.at[bidx, length].set(v[:, 0])
     attn = decode_attention(q, k_cache, v_cache, length + 1)
-    x = x + attn.reshape(b, 1, -1) @ p["attn"]["o_proj"]["kernel"]
+    x = x + lora_linear(p["attn"]["o_proj"], attn.reshape(b, 1, -1))
     h = rms_norm(x, p["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
     y, _ = mlp_apply(p, h)
     return x + y, (k_cache, v_cache)
@@ -165,6 +168,7 @@ def forward(
     mlp_apply: MlpApply = dense_mlp_layer,
     cache: Optional[KVCache] = None,
     remat: bool = False,
+    unroll: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Prefill forward over the full layer stack.
 
@@ -188,9 +192,27 @@ def forward(
 
     if remat:
         body = jax.checkpoint(body)
-    x, ((ks, vs), aux_losses) = jax.lax.scan(body, input_embeds,
+    if unroll:
+        # python-unrolled layers: per-layer weight slices keep their natural
+        # layout — lax.scan over stacked [L, in, out] kernels makes XLA
+        # relayout-copy the whole stack (1GB/kernel at 7B), which blows HBM
+        # on single-chip inference
+        x = input_embeds
+        ks_l, vs_l, aux_l = [], [], []
+        for i in range(cfg.num_layers):
+            layer_p = jax.tree_util.tree_map(lambda a, i=i: a[i],
                                              params["layers"])
-    aux_loss = jnp.sum(aux_losses)
+            x, (k, v), aux = decoder_layer_prefill(
+                layer_p, x, cfg, cos, sin, attn_mask, mlp_apply)
+            ks_l.append(k)
+            vs_l.append(v)
+            aux_l.append(aux)
+        ks, vs = jnp.stack(ks_l), jnp.stack(vs_l)
+        aux_loss = jnp.sum(jnp.stack(aux_l))
+    else:
+        x, ((ks, vs), aux_losses) = jax.lax.scan(body, input_embeds,
+                                                 params["layers"])
+        aux_loss = jnp.sum(aux_losses)
     x = rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps)
 
     new_cache = None
@@ -214,19 +236,33 @@ def forward_decode(
     input_embeds: jnp.ndarray,
     cache: KVCache,
     mlp_apply: MlpApply = dense_mlp_layer,
+    unroll: bool = False,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One decode step. input_embeds [B, 1, H] -> (hidden [B, 1, H], cache')."""
     positions = cache.length[:, None]  # [B, 1]
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
-    def body(x, layer_in):
-        layer_p, k_c, v_c = layer_in
-        x, (k_c, v_c) = decoder_layer_decode(
-            layer_p, x, cfg, cos, sin, k_c, v_c, cache.length, mlp_apply)
-        return x, (k_c, v_c)
+    if unroll:
+        x = input_embeds
+        ks_l, vs_l = [], []
+        for i in range(cfg.num_layers):
+            layer_p = jax.tree_util.tree_map(lambda a, i=i: a[i],
+                                             params["layers"])
+            x, (k_c, v_c) = decoder_layer_decode(
+                layer_p, x, cfg, cos, sin, cache.k[i], cache.v[i],
+                cache.length, mlp_apply)
+            ks_l.append(k_c)
+            vs_l.append(v_c)
+        ks, vs = jnp.stack(ks_l), jnp.stack(vs_l)
+    else:
+        def body(x, layer_in):
+            layer_p, k_c, v_c = layer_in
+            x, (k_c, v_c) = decoder_layer_decode(
+                layer_p, x, cfg, cos, sin, k_c, v_c, cache.length, mlp_apply)
+            return x, (k_c, v_c)
 
-    x, (ks, vs) = jax.lax.scan(body, input_embeds,
-                               (params["layers"], cache.k, cache.v))
+        x, (ks, vs) = jax.lax.scan(body, input_embeds,
+                                   (params["layers"], cache.k, cache.v))
     x = rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps)
     return x, KVCache(k=ks, v=vs, length=cache.length + 1)
 
@@ -240,4 +276,4 @@ def embed(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
 
 
 def logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
-    return (hidden @ params["lm_head"]["kernel"]).astype(jnp.float32)
+    return lora_linear(params["lm_head"], hidden).astype(jnp.float32)

@@ -208,20 +208,24 @@ def _out_len(cfg: MedplibConfig, batch: Batch) -> int:
 # ---------------------------------------------------------------------------
 
 def _llm_forward(params, cfg: MedplibConfig, embeds, attn_mask, cache=None,
-                 train=True, remat=False, ep_shard=False):
+                 train=True, remat=False, ep_shard=False, unroll=False):
     if cfg.moe.enable:
         return moe_llama.forward(params["llm"], cfg.llm, cfg.moe, embeds,
                                  attn_mask, cache=cache, remat=remat,
-                                 train=train, ep_shard=ep_shard)
+                                 train=train, ep_shard=ep_shard,
+                                 unroll=unroll)
     return llama.forward(params["llm"], cfg.llm, embeds, attn_mask,
-                         cache=cache, remat=remat)
+                         cache=cache, remat=remat, unroll=unroll)
 
 
-def _llm_decode(params, cfg: MedplibConfig, embeds, cache, ep_shard=False):
+def _llm_decode(params, cfg: MedplibConfig, embeds, cache, ep_shard=False,
+                unroll=False):
     if cfg.moe.enable:
         return moe_llama.forward_decode(params["llm"], cfg.llm, cfg.moe,
-                                        embeds, cache, ep_shard=ep_shard)
-    return llama.forward_decode(params["llm"], cfg.llm, embeds, cache)
+                                        embeds, cache, ep_shard=ep_shard,
+                                        unroll=unroll)
+    return llama.forward_decode(params["llm"], cfg.llm, embeds, cache,
+                                unroll=unroll)
 
 
 # ---------------------------------------------------------------------------
@@ -330,7 +334,8 @@ class GenerateResult(NamedTuple):
 def generate(params: Params, cfg: MedplibConfig, batch: Batch,
              max_new_tokens: int = 64, eos_id: int = 2,
              rp_flag: bool = False, out_size: Optional[int] = None,
-             ep_shard: bool = False) -> GenerateResult:
+             ep_shard: bool = False,
+             unroll_layers: bool = False) -> GenerateResult:
     """Greedy decode + pixel grounding, fully jit-able.
 
     Reproduces model.evaluate(): generate with hidden-state harvesting, find
@@ -348,7 +353,7 @@ def generate(params: Params, cfg: MedplibConfig, batch: Batch,
                                dtype=embeds.dtype)
     hidden, cache, _ = _llm_forward(params, cfg, embeds, attn_mask,
                                     cache=cache, train=False,
-                                    ep_shard=ep_shard)
+                                    ep_shard=ep_shard, unroll=unroll_layers)
     # hidden state of the LAST real token per row predicts the first new one
     last_idx = jnp.maximum(jnp.sum(attn_mask, -1) - 1, 0)
     last_hidden = jnp.take_along_axis(hidden, last_idx[:, None, None],
@@ -367,7 +372,7 @@ def generate(params: Params, cfg: MedplibConfig, batch: Batch,
         cache, tok, done, seg_emb, seg_found, prev_hidden = carry
         emb = llama.embed(params["llm"], tok[:, None])
         hidden, cache = _llm_decode(params, cfg, emb, cache,
-                                    ep_shard=ep_shard)
+                                    ep_shard=ep_shard, unroll=unroll_layers)
         logits = llama.logits(params["llm"], hidden)[:, 0]
         new_tok = jnp.argmax(logits, -1)
         # SEG emitted now -> capture the PREVIOUS position's hidden state

@@ -106,20 +106,23 @@ def _with_flags(params: Params, cfg: LlamaConfig, moe_cfg: MoeConfig) -> Params:
 
 def forward(params: Params, cfg: LlamaConfig, moe_cfg: MoeConfig,
             input_embeds, attn_mask=None, positions=None, cache=None,
-            remat: bool = False, train: bool = True, ep_shard: bool = False):
+            remat: bool = False, train: bool = True, ep_shard: bool = False,
+            unroll: bool = False):
     """-> (hidden_post_norm, cache', router_aux_loss_sum)."""
     mlp_apply = make_moe_mlp_apply(cfg, moe_cfg, train=train,
                                    ep_shard=ep_shard)
     return llama.forward(_with_flags(params, cfg, moe_cfg), cfg, input_embeds,
-                         attn_mask, positions, mlp_apply, cache, remat)
+                         attn_mask, positions, mlp_apply, cache, remat,
+                         unroll)
 
 
 def forward_decode(params: Params, cfg: LlamaConfig, moe_cfg: MoeConfig,
-                   input_embeds, cache, ep_shard: bool = False):
+                   input_embeds, cache, ep_shard: bool = False,
+                   unroll: bool = False):
     mlp_apply = make_moe_mlp_apply(cfg, moe_cfg, train=False,
                                    ep_shard=ep_shard)
     return llama.forward_decode(_with_flags(params, cfg, moe_cfg), cfg,
-                                input_embeds, cache, mlp_apply)
+                                input_embeds, cache, mlp_apply, unroll)
 
 
 def build_experts_from_donors(donor_mlp_stacks) -> Params:

@@ -1,0 +1,105 @@
+"""LoRA: low-rank adapters injected into linear kernels.
+
+Rebuilds the reference's peft-based LoRA injection
+(/root/reference/train_ds_medplib.py:262-303: target modules resolved by
+name, visual modules excluded) for stacked-param scan layers: adapters live
+NEXT TO the kernel in the param tree ("lora_a"/"lora_b"), and
+`ops`-level linears apply `y = x @ W + (x @ A) @ B * (alpha/r)` when
+adapters are present — no materialized merged weight during training.
+
+`merge()` folds adapters into the kernels for export, matching the
+reference's `merge_and_unload` + HF save flow
+(merge_lora_weights_and_save_hf_model_moe.py:322-344).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+def _iter_linear_paths(tree: Params, prefix=()):
+    if isinstance(tree, dict):
+        if "kernel" in tree:
+            yield prefix, tree
+        for k, v in tree.items():
+            if k != "kernel":
+                yield from _iter_linear_paths(v, prefix + (k,))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            yield from _iter_linear_paths(v, prefix + (str(i),))
+
+
+def inject(key, params: Params, target_modules: Sequence[str], r: int,
+           exclude: Sequence[str] = ("clip", "sam", "mask_encoder",
+                                     "mm_token_compressor")) -> Params:
+    """Add lora_a/lora_b beside every kernel whose path ends in a target
+    module name (and isn't under an excluded subtree). Mutates a copy."""
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
+    n = 0
+    for path, node in _iter_linear_paths(params):
+        if any(e in path for e in exclude):
+            continue
+        if not path or path[-1] not in target_modules:
+            continue
+        kern = node["kernel"]
+        *lead, din, dout = kern.shape
+        key, k1 = jax.random.split(key)
+        node["lora_a"] = (jax.random.normal(k1, tuple(lead) + (din, r))
+                          * (1.0 / r)).astype(kern.dtype)
+        node["lora_b"] = jnp.zeros(tuple(lead) + (r, dout), kern.dtype)
+        n += 1
+    if n == 0:
+        raise ValueError(f"no modules matched {target_modules}")
+    return params
+
+
+def linear(p: Params, x: jnp.ndarray, scale: float = 2.0) -> jnp.ndarray:
+    """x @ kernel with optional LoRA path. `scale` = alpha / r."""
+    y = x @ p["kernel"]
+    if "lora_a" in p:
+        y = y + ((x @ p["lora_a"]) @ p["lora_b"]) * scale
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def merge(params: Params, scale: float = 2.0) -> Params:
+    """Fold LoRA deltas into kernels and drop adapter leaves (export path)."""
+    def rec(node):
+        if isinstance(node, dict):
+            out = {}
+            if "kernel" in node and "lora_a" in node:
+                delta = jnp.einsum("...ir,...ro->...io", node["lora_a"],
+                                   node["lora_b"]) * scale
+                out["kernel"] = node["kernel"] + delta.astype(
+                    node["kernel"].dtype)
+                for k, v in node.items():
+                    if k not in ("kernel", "lora_a", "lora_b"):
+                        out[k] = rec(v)
+                return out
+            return {k: rec(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [rec(v) for v in node]
+        return node
+    return rec(params)
+
+
+def trainable_mask(params: Params, sft_modules: Sequence[str]) -> Params:
+    """Boolean pytree: True for LoRA leaves and any leaf under an sft module
+    (train_ds_medplib.py:316-326 keeps text_hidden_fcs/mask_decoder/lm_head/
+    embed_tokens/region_fea_adapter fully trainable alongside LoRA)."""
+    def rec(node, path):
+        if isinstance(node, dict):
+            return {k: rec(v, path + (k,)) for k, v in node.items()}
+        if isinstance(node, list):
+            return [rec(v, path + (str(i),)) for i, v in enumerate(node)]
+        is_lora = path and path[-1] in ("lora_a", "lora_b")
+        in_sft = any(m in path for m in sft_modules)
+        return bool(is_lora or in_sft)
+    return rec(params, ())

@@ -1,0 +1,170 @@
+"""Training loop: sharded train step, gradient accumulation, checkpointing,
+auto-resume with mid-epoch skip-replay, metric logging.
+
+Rebuilds the reference's DeepSpeed driver (/root/reference/
+train_ds_medplib.py:383-700) as a pjit/GSPMD loop:
+- ZeRO-2 -> optimizer state shards along the mesh via the same NamedShardings
+  as params (parallel/mesh.py rules); gradients reduce over `data` inside the
+  compiled step (XLA emits the reduce-scatter/all-reduce)
+- grad accumulation: lax.scan over `ga` microbatches inside ONE compiled step
+  (the reference's inner Python loop, 578-625)
+- auto-resume: restore latest checkpoint, recompute epoch/step position, skip
+  already-consumed batches (567-576 replay semantics)
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterator, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from medplib_tpu.config import MedplibConfig, TrainConfig
+from medplib_tpu.models import medplib
+from medplib_tpu.train import lora as lora_lib
+from medplib_tpu.train.optimizer import make_optimizer
+from medplib_tpu.utils.checkpoint import CheckpointManager
+from medplib_tpu.utils.logging import AverageMeter, ProgressMeter, ScalarWriter
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+
+
+def create_state(params, tcfg: TrainConfig):
+    mask = (lora_lib.trainable_mask(params, tcfg.sft_modules)
+            if tcfg.lora_enable else None)
+    tx = make_optimizer(tcfg, mask)
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32)), tx
+
+
+def make_train_step(cfg: MedplibConfig, tcfg: TrainConfig, tx,
+                    ep_shard: bool = False,
+                    seg_flag: bool = True, rp_flag: bool = False):
+    """One compiled update over `grad_accumulation_steps` microbatches.
+
+    batches: a pytree of arrays with leading [GA, ...] microbatch axis.
+    """
+    ga = tcfg.grad_accumulation_steps
+
+    def loss_fn(params, batch):
+        out = medplib.model_forward(params, cfg, batch, train=True,
+                                    seg_flag=seg_flag, rp_flag=rp_flag,
+                                    remat=True, ep_shard=ep_shard)
+        metrics = {k: v for k, v in out.items() if v.ndim == 0}
+        return out["loss"], metrics
+
+    grad_fn = jax.grad(loss_fn, has_aux=True)
+
+    def train_step(state: TrainState, batches):
+        def micro(carry, mb):
+            grads_acc, metrics_acc = carry
+            grads, metrics = grad_fn(state.params, mb)
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            metrics_acc = jax.tree_util.tree_map(jnp.add, metrics_acc,
+                                                 metrics)
+            return (grads_acc, metrics_acc), None
+
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+        batch0 = jax.tree_util.tree_map(lambda x: x[0], batches)
+        m0 = jax.eval_shape(lambda p, b: loss_fn(p, b)[1],
+                            state.params, batch0)
+        metric_zeros = jax.tree_util.tree_map(
+            lambda _: jnp.zeros((), jnp.float32), m0)
+        (grads, metrics), _ = jax.lax.scan(
+            micro, (zeros, metric_zeros), batches)
+        grads = jax.tree_util.tree_map(lambda g: g / ga, grads)
+        metrics = jax.tree_util.tree_map(lambda m: m / ga, metrics)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), metrics
+
+    return train_step
+
+
+class Trainer:
+    """Epoch loop with checkpoints, resume, and scalar logging."""
+
+    def __init__(self, cfg: MedplibConfig, tcfg: TrainConfig, params,
+                 log_dir: str, ep_shard: bool = False, seg_flag: bool = True,
+                 rp_flag: bool = False):
+        self.cfg, self.tcfg = cfg, tcfg
+        self.state, self.tx = create_state(params, tcfg)
+        self.step_fn = jax.jit(make_train_step(cfg, tcfg, self.tx, ep_shard,
+                                               seg_flag, rp_flag),
+                               donate_argnums=(0,))
+        self.writer = ScalarWriter(log_dir)
+        self.ckpt = CheckpointManager(f"{log_dir}/ckpt_model")
+        self.log_dir = log_dir
+
+    def resume_if_possible(self) -> int:
+        """auto_resume (train_ds_medplib.py:452-470): restore newest ckpt,
+        return global step (0 if fresh)."""
+        restored, step = self.ckpt.restore(
+            {"params": self.state.params, "opt_state": self.state.opt_state,
+             "step": self.state.step})
+        if step is None:
+            return 0
+        self.state = TrainState(**restored)
+        return int(step)
+
+    def save(self, step: int):
+        self.ckpt.save(step, {"params": self.state.params,
+                              "opt_state": self.state.opt_state,
+                              "step": self.state.step})
+
+    def fit(self, batch_iterator: Callable[[], Iterator],
+            steps_per_epoch: Optional[int] = None):
+        tcfg = self.tcfg
+        spe = steps_per_epoch or tcfg.steps_per_epoch
+        start_step = self.resume_if_possible()
+        start_epoch = start_step // spe
+
+        meters = {name: AverageMeter(name, ":.4f")
+                  for name in ("loss", "ce_loss", "mask_loss")}
+        batch_time = AverageMeter("time", ":.2f")
+        global_step = start_step
+
+        for epoch in range(start_epoch, tcfg.epochs):
+            it = batch_iterator()
+            # mid-epoch skip-replay (train_ds_medplib.py:567-576)
+            skip = global_step - epoch * spe
+            for _ in range(skip):
+                next(it)
+            progress = ProgressMeter(
+                spe, list(meters.values()) + [batch_time],
+                prefix=f"epoch {epoch}: ")
+            for local_step in range(skip, spe):
+                t0 = time.time()
+                try:
+                    batches = next(it)
+                except StopIteration:
+                    break
+                self.state, metrics = self.step_fn(self.state, batches)
+                metrics = {k: float(v) for k, v in metrics.items()}
+                batch_time.update(time.time() - t0)
+                for k, m in meters.items():
+                    if k in metrics:
+                        m.update(metrics[k])
+                global_step += 1
+                if global_step % tcfg.log_steps == 0:
+                    progress.display(local_step + 1)
+                    self.writer.add_scalars(metrics, global_step,
+                                            prefix="train/")
+                    self.writer.add_scalar(
+                        "metrics/total_secs_per_batch", batch_time.avg,
+                        global_step)
+                if global_step % tcfg.save_steps == 0:
+                    self.save(global_step)
+            self.save(global_step)
+        return global_step
