@@ -46,7 +46,7 @@ def main():
 
     gen = jax.jit(
         lambda p, b: medplib.generate(p, cfg, b, max_new_tokens=max_new,
-                                      unroll_layers=True))
+                                      unroll_layers=False))
 
     def run_once(b):
         res = gen(params, b)

@@ -1,0 +1,141 @@
+"""Interactive chat CLI with pixel grounding.
+
+Rebuild of /root/reference/chat.py: REPL over a conversation template, dual
+SAM/CLIP image preprocessing (175-207), jit generation + <SEG>-driven mask
+decode (211-219), prediction-mask and overlay JPEGs saved per turn
+(226-249). Precision/quantization flags map to param dtype casting instead
+of bitsandbytes.
+
+Usage:
+  python -m medplib_tpu.chat --checkpoint <orbax params dir> \
+      --tokenizer <hf tokenizer dir> [--moe] [--precision bf16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def build_argparser():
+    ap = argparse.ArgumentParser(description="MedPLIB-TPU chat")
+    ap.add_argument("--checkpoint", required=True,
+                    help="orbax params directory (export of utils/export.py)")
+    ap.add_argument("--tokenizer", required=True,
+                    help="HF tokenizer path (llava-v1.5 vocab + extra tokens)")
+    ap.add_argument("--conv-type", default="v1",
+                    choices=["v1", "llava_v1", "llava_llama_2"])
+    ap.add_argument("--precision", default="bf16",
+                    choices=["bf16", "fp32"])
+    ap.add_argument("--moe", action="store_true",
+                    help="MoE checkpoint (MedPLIB-7b-2e layout)")
+    ap.add_argument("--vis-save-path", default="./vis_output")
+    ap.add_argument("--max-new-tokens", type=int, default=512)
+    ap.add_argument("--sam-img-size", type=int, default=256)
+    return ap
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    from medplib_tpu.config import (MedplibConfig, MoeConfig)
+    from medplib_tpu.data import preprocess as pp
+    from medplib_tpu.data import tokenize as tk
+    from medplib_tpu.data.conversation import conv_templates
+    from medplib_tpu.data.dataset import CollatorConfig, collate, to_model_batch
+    from medplib_tpu.eval.seg_metrics import binarize_logits
+    from medplib_tpu.models import medplib
+    from medplib_tpu.utils.checkpoint import load_params
+    from medplib_tpu.utils.hf_weights import cast_tree
+
+    tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+    tk.add_special_tokens(tokenizer)
+    seg_idx = tokenizer.convert_tokens_to_ids("<SEG>")
+
+    cfg = MedplibConfig(
+        moe=MoeConfig(enable=args.moe, num_experts=2, top_k=1,
+                      capacity_factor=1.5, eval_capacity_factor=2.0,
+                      moe_mode="dense"),
+        seg_token_idx=seg_idx,
+        vocab_size_padded=len(tokenizer))
+    params = load_params(args.checkpoint)
+    if args.precision == "bf16":
+        params = cast_tree(params, jnp.bfloat16)
+
+    cc = CollatorConfig(max_seq_len=512,
+                        image_tokens=cfg.vision.num_patches,
+                        sam_image_size=cfg.sam.image_size,
+                        clip_image_size=cfg.vision.image_size)
+    gen = jax.jit(lambda p, b: medplib.generate(
+        p, cfg, b, max_new_tokens=args.max_new_tokens,
+        eos_id=tokenizer.eos_token_id, unroll_layers=True))
+
+    os.makedirs(args.vis_save_path, exist_ok=True)
+    conv_template = conv_templates[args.conv_type]
+    turn = 0
+    while True:
+        conv = conv_template.copy()
+        try:
+            prompt = input("Please input your prompt: ")
+        except EOFError:
+            break
+        if not prompt:
+            continue
+        image_path = input("Please input the image path: ")
+        if not os.path.exists(image_path):
+            print(f"File not found: {image_path}")
+            continue
+
+        conv.append_message(conv.roles[0], "<image>\n" + prompt)
+        conv.append_message(conv.roles[1], None)
+        full_prompt = conv.get_prompt()
+
+        rgb = pp.load_image_rgb(image_path)
+        image_sam, resize_hw = pp.preprocess_sam(rgb, cfg.sam.image_size)
+        sample = {
+            "input_ids": np.asarray(
+                tk.tokenizer_image_token(full_prompt, tokenizer), np.int64),
+            "labels": np.full(1, -100, np.int64),
+            "image_clip": pp.preprocess_clip(rgb, cfg.vision.image_size),
+            "image_sam": image_sam, "resize_hw": resize_hw,
+            "original_hw": rgb.shape[:2], "gt_masks": [],
+            "gt_masks_original": [], "question": [prompt], "gt": [""],
+            "image_path": image_path, "answer_type": None,
+        }
+        sample["labels"] = np.full(len(sample["input_ids"]), -100, np.int64)
+        arrays, meta = collate([sample], cc)
+        res = gen(params, to_model_batch(arrays))
+        n = int(np.asarray(res.num_generated)[0])
+        toks = [int(t) for t in np.asarray(res.output_ids)[0][:n] if t > 0]
+        text = tokenizer.decode(toks, skip_special_tokens=False).replace(
+            "</s>", "").strip()
+        print("ASSISTANT:", text)
+
+        if bool(np.asarray(res.has_seg)[0]):
+            logits = np.asarray(res.pred_masks)[0]
+            pred = pp.unpad_and_resize_mask(logits, resize_hw, rgb.shape[:2])
+            mask = binarize_logits(pred)
+            from PIL import Image
+            base = os.path.splitext(os.path.basename(image_path))[0]
+            mask_path = os.path.join(args.vis_save_path,
+                                     f"{base}_{turn}_mask.jpg")
+            Image.fromarray((mask * 255).astype(np.uint8)).save(mask_path)
+            overlay = rgb.copy()
+            overlay[mask > 0] = (0.5 * overlay[mask > 0] +
+                                 0.5 * np.array([255, 0, 0])).astype(np.uint8)
+            ov_path = os.path.join(args.vis_save_path,
+                                   f"{base}_{turn}_masked.jpg")
+            Image.fromarray(overlay).save(ov_path)
+            print(f"{mask_path} saved.")
+            print(f"{ov_path} saved.")
+        turn += 1
+
+
+if __name__ == "__main__":
+    main()

@@ -81,7 +81,7 @@ class LazySupervisedDataset:
         with open(cfg.data_path) as f:
             self.records = json.load(f)
         for item in self.records:
-            for turn in item["conversations"]:
+            for turn in item.get("conversations", []):
                 turn["value"] = str(turn["value"])
         self.rng = random.Random(cfg.seed)
 

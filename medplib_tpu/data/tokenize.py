@@ -69,19 +69,26 @@ def tokenizer_image_token(prompt: str, tokenizer,
 
 def preprocess_multimodal(sources: Sequence[List[dict]],
                           use_im_start_end: bool = False):
-    """Move <image> to the front of any turn that mentions it."""
+    """Move <image> to the front of any single-image turn.
+
+    Deviation from the reference (LazySupervisedDataset.py:108-113): the
+    reference's replace-all-then-prepend-one collapses MULTI-image turns to a
+    single <image>, which would break ICL prompts (2n+1 sentinels expected,
+    ICLLazySupervisedDataset.py:139-142); turns with >1 <image> are left
+    in place here.
+    """
     for source in sources:
         for sentence in source:
             value = str(sentence["value"])
-            if DEFAULT_IMAGE_TOKEN in value:
+            if value.count(DEFAULT_IMAGE_TOKEN) == 1:
                 value = value.replace(DEFAULT_IMAGE_TOKEN, "").strip()
                 value = (DEFAULT_IMAGE_TOKEN + "\n" + value).strip()
-                if use_im_start_end:
-                    value = value.replace(
-                        DEFAULT_IMAGE_TOKEN,
-                        DEFAULT_IM_START_TOKEN + DEFAULT_IMAGE_TOKEN +
-                        DEFAULT_IM_END_TOKEN)
-                sentence["value"] = value
+            if DEFAULT_IMAGE_TOKEN in value and use_im_start_end:
+                value = value.replace(
+                    DEFAULT_IMAGE_TOKEN,
+                    DEFAULT_IM_START_TOKEN + DEFAULT_IMAGE_TOKEN +
+                    DEFAULT_IM_END_TOKEN)
+            sentence["value"] = value
     return sources
 
 

@@ -27,7 +27,8 @@ from medplib_tpu.ops.attention import causal_attention, decode_attention
 from medplib_tpu.ops.initializers import dense_init, embed_init
 from medplib_tpu.ops.norms import rms_norm
 from medplib_tpu.ops.rope import apply_rope, rope_cos_sin
-from medplib_tpu.train.lora import linear as lora_linear
+from medplib_tpu.train.lora import (linear as lora_linear,
+                                    linear_t as lora_linear_t)
 
 Params = Dict[str, Any]
 
@@ -58,9 +59,13 @@ def init_layer(key, cfg: LlamaConfig, dtype=jnp.float32) -> Params:
     return {
         "input_layernorm": {"weight": jnp.ones((h,), dtype)},
         "attn": {
-            "q_proj": {"kernel": dense_init(ks[0], h, q_dim, dtype)},
-            "k_proj": {"kernel": dense_init(ks[1], h, kv_dim, dtype)},
-            "v_proj": {"kernel": dense_init(ks[2], h, kv_dim, dtype)},
+            # q/k/v kernels are stored TRANSPOSED [out, in] ("decode-major"):
+            # the single-token decode matmul wants the contracting dim
+            # minor-most, and storing it that way saves XLA a full relayout
+            # copy of the stacked weights (3GB at 7B) in generate programs
+            "q_proj": {"kernel": dense_init(ks[0], h, q_dim, dtype).T},
+            "k_proj": {"kernel": dense_init(ks[1], h, kv_dim, dtype).T},
+            "v_proj": {"kernel": dense_init(ks[2], h, kv_dim, dtype).T},
             "o_proj": {"kernel": dense_init(ks[3], q_dim, h, dtype)},
         },
         "post_attention_layernorm": {"weight": jnp.ones((h,), dtype)},
@@ -112,11 +117,12 @@ def dense_mlp_layer(layer_params: Params, x: jnp.ndarray):
 
 def _qkv(p: Params, x: jnp.ndarray, cfg: LlamaConfig, cos, sin):
     b, t, _ = x.shape
-    q = lora_linear(p["q_proj"], x).reshape(b, t, cfg.num_heads, cfg.head_dim)
-    k = lora_linear(p["k_proj"], x).reshape(b, t, cfg.num_kv_heads,
-                                            cfg.head_dim)
-    v = lora_linear(p["v_proj"], x).reshape(b, t, cfg.num_kv_heads,
-                                            cfg.head_dim)
+    q = lora_linear_t(p["q_proj"], x).reshape(b, t, cfg.num_heads,
+                                              cfg.head_dim)
+    k = lora_linear_t(p["k_proj"], x).reshape(b, t, cfg.num_kv_heads,
+                                              cfg.head_dim)
+    v = lora_linear_t(p["v_proj"], x).reshape(b, t, cfg.num_kv_heads,
+                                              cfg.head_dim)
     return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
 
 

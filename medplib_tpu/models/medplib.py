@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from medplib_tpu.config import MedplibConfig
-from medplib_tpu.models import clip, llama, losses, moe_llama, projector, sam_med2d
+from medplib_tpu.models import (clip, geo_sampler, llama, losses, moe_llama,
+                                projector, sam_med2d)
 from medplib_tpu.ops import splice as splice_ops
 from medplib_tpu.ops.initializers import dense_init
 
@@ -107,6 +108,9 @@ def init_medplib(key, cfg: MedplibConfig, dtype=jnp.float32) -> Params:
             ks[7], h, dtype)
     if cfg.projector.mask_encoder:
         params["mask_encoder"] = projector.init_mask_encoder(ks[7], h, dtype)
+    if cfg.projector.region_geo_sampler:
+        params["region_geo_sampler"] = geo_sampler.init_geo_sampler(
+            ks[7], cfg.projector.mm_hidden_size, h, dtype=dtype)
     return params
 
 
@@ -161,8 +165,12 @@ def encode_images(params: Params, cfg: MedplibConfig,
     region_fmap = None
     if need_region:
         raw0 = raw.reshape(b, n_img, raw.shape[1], raw.shape[2])[:, 0]
-        region_fmap = projector.apply_region_adapter(
-            params["region_fea_adapter"], raw0)
+        if cfg.projector.region_geo_sampler:
+            # geo sampler consumes RAW clip features (medplib_arch.py:205-207)
+            region_fmap = raw0
+        else:
+            region_fmap = projector.apply_region_adapter(
+                params["region_fea_adapter"], raw0)
     return buffer, l_max, region_fmap
 
 
@@ -182,8 +190,14 @@ def splice_batch(params: Params, cfg: MedplibConfig, batch: Batch,
 
     region_feats = None
     if need_region:
-        region_feats = projector.region_pool(
-            region_fmap, batch.region_masks, batch.region_valid)
+        if cfg.projector.region_geo_sampler:
+            region_feats = geo_sampler.apply_geo_sampler(
+                params["region_geo_sampler"], region_fmap,
+                batch.region_masks, batch.region_valid,
+                pooler_mode=cfg.projector.sampler_pooler_mode)
+        else:
+            region_feats = projector.region_pool(
+                region_fmap, batch.region_masks, batch.region_valid)
 
     token_embeds = llama.embed(params["llm"], batch.input_ids)
     embeds, labels_out, seg_mask = splice_ops.splice_embeddings(

@@ -95,7 +95,7 @@ _PATH_RULES = [
     # LLaMA
     (r"embed_tokens/embedding$", ("vocab", "embed")),
     (r"lm_head/kernel$", ("embed", "vocab")),
-    (r"(q_proj|k_proj|v_proj)/kernel$", ("embed", "heads")),
+    (r"(q_proj|k_proj|v_proj)/kernel$", ("heads", "embed")),
     (r"o_proj/kernel$", ("heads", "embed")),
     (r"(gate_proj|up_proj)/kernel$", ("embed", "mlp")),
     (r"down_proj/kernel$", ("mlp", "embed")),

@@ -1,0 +1,208 @@
+"""Model worker: registers with the controller, heartbeats, serves
+/worker_generate_stream.
+
+Rebuild of /root/reference/model/serve/model_worker.py: base64 image in,
+dual SAM/CLIP preprocess (231-264), region-mask prep (271-288), generation,
+then on completion the <SEG> scan -> text_hidden_fcs -> SAM decode ->
+sparse-coordinate mask in the final chunk (448-540). Responses stream as
+NUL-delimited JSON chunks; a semaphore caps concurrency (577-592).
+
+TPU-first: the reference's manual token-by-token decode loop (393-427) is
+the jit'd medplib.generate (one compiled KV-cached scan); text streaming
+re-plays the decoded tokens in stream_interval batches after the compute.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from medplib_tpu.config import MedplibConfig
+from medplib_tpu.data import preprocess as pp
+from medplib_tpu.data import tokenize as tk
+from medplib_tpu.data.conversation import conv_templates
+from medplib_tpu.data.dataset import CollatorConfig, collate, to_model_batch
+from medplib_tpu.eval.seg_metrics import binarize_logits
+from medplib_tpu.models import medplib
+from medplib_tpu.serve import protocol
+
+
+class ModelWorker:
+    def __init__(self, cfg: MedplibConfig, params, tokenizer,
+                 model_name: str = "medplib-tpu",
+                 controller_url: Optional[str] = None,
+                 worker_url: str = "http://localhost:21002",
+                 limit_concurrency: int = 2,
+                 max_seq_len: int = 512, max_new_tokens: int = 256,
+                 stream_interval: int = 2,
+                 conv_template: str = "v1"):
+        self.cfg, self.params, self.tok = cfg, params, tokenizer
+        self.model_name = model_name
+        self.controller_url = controller_url
+        self.worker_url = worker_url
+        self.worker_id = str(uuid.uuid4())[:6]
+        self.semaphore = threading.Semaphore(limit_concurrency)
+        self.queue_length = 0
+        self.stream_interval = stream_interval
+        self.conv = conv_templates[conv_template]
+        self.cc = CollatorConfig(
+            max_seq_len=max_seq_len, image_tokens=cfg.vision.num_patches,
+            sam_image_size=cfg.sam.image_size,
+            clip_image_size=cfg.vision.image_size)
+        self._gen = jax.jit(
+            lambda p, b: medplib.generate(
+                p, cfg, b, max_new_tokens=max_new_tokens,
+                eos_id=getattr(tokenizer, "eos_token_id", 2) or 2,
+                rp_flag=False))
+        if controller_url:
+            self.register()
+            t = threading.Thread(target=self._heartbeat_loop, daemon=True)
+            t.start()
+
+    # ---- controller RPC (model_worker.py:59-156) ----
+    def _post(self, path: str, payload: dict) -> dict:
+        import requests
+        r = requests.post(self.controller_url + path, json=payload,
+                          timeout=5)
+        return r.json()
+
+    def status(self) -> dict:
+        return {"model_names": [self.model_name], "speed": 1.0,
+                "queue_length": self.queue_length}
+
+    def register(self):
+        self._post("/register_worker", {
+            "worker_name": self.worker_url, "check_heart_beat": True,
+            "worker_status": self.status()})
+
+    def _heartbeat_loop(self):
+        while True:
+            time.sleep(protocol.HEARTBEAT_WORKER_INTERVAL)
+            try:
+                res = self._post("/receive_heart_beat", {
+                    "worker_name": self.worker_url,
+                    "queue_length": self.queue_length})
+                if not res.get("exist"):
+                    self.register()
+            except Exception:
+                pass
+
+    # ---- generation ----
+    def build_sample(self, prompt: str, image_rgb: np.ndarray,
+                     region_mask: Optional[np.ndarray]) -> Dict:
+        image_sam, resize_hw = pp.preprocess_sam(image_rgb,
+                                                 self.cfg.sam.image_size)
+        image_clip = pp.preprocess_clip(image_rgb,
+                                        self.cfg.vision.image_size)
+        ids = tk.tokenizer_image_token(prompt, self.tok)
+        sample = {
+            "input_ids": np.asarray(ids, np.int64),
+            "labels": np.full(len(ids), -100, np.int64),
+            "image_clip": image_clip, "image_sam": image_sam,
+            "resize_hw": resize_hw, "original_hw": image_rgb.shape[:2],
+            "gt_masks": [], "gt_masks_original": [], "question": [prompt],
+            "gt": [""], "image_path": None, "answer_type": None,
+        }
+        if region_mask is not None:
+            sample["region_masks"] = [pp.preprocess_region_mask(
+                region_mask, self.cfg.vision.image_size,
+                self.cfg.vision.patch_size)]
+        return sample
+
+    def generate_stream(self, payload: dict):
+        """Yields NUL-delimited JSON chunk bytes (model_worker.py:522-540)."""
+        self.queue_length += 1
+        try:
+            with self.semaphore:
+                yield from self._generate_stream_inner(payload)
+        except Exception as e:  # noqa: BLE001 - serving boundary
+            yield json.dumps({"text": f"server error: {e}", "mask": [],
+                              "height": "0", "width": "0",
+                              "error_code": protocol.ERROR_CODE_ERROR}
+                             ).encode() + protocol.STREAM_DELIMITER
+        finally:
+            self.queue_length -= 1
+
+    def _generate_stream_inner(self, payload: dict):
+        prompt = payload["prompt"]
+        image = protocol.decode_image_b64(payload["images"][0])
+        region = None
+        if payload.get("region_masks"):
+            region = protocol.decode_sparse_mask(
+                payload["region_masks"][0],
+                *payload.get("region_hw", image.shape[:2]))
+        sample = self.build_sample(prompt, image, region)
+        arrays, meta = collate([sample], self.cc)
+        res = self._gen(self.params, to_model_batch(arrays))
+
+        out_ids = np.asarray(res.output_ids)[0]
+        n = int(np.asarray(res.num_generated)[0])
+        toks = [int(t) for t in out_ids[:n] if t > 0]
+        # stream text in stream_interval batches
+        for i in range(0, max(len(toks), 1), self.stream_interval):
+            text = self.tok.decode(toks[: i + self.stream_interval],
+                                   skip_special_tokens=False
+                                   ).replace("</s>", "")
+            yield json.dumps({"text": text, "mask": [], "height": "0",
+                              "width": "0",
+                              "error_code": protocol.ERROR_CODE_OK}
+                             ).encode() + protocol.STREAM_DELIMITER
+
+        text = self.tok.decode(toks, skip_special_tokens=False
+                               ).replace("</s>", "").strip()
+        encoded_mask, h, w = [], 0, 0
+        if bool(np.asarray(res.has_seg)[0]):
+            logits = np.asarray(res.pred_masks)[0]
+            pred = pp.unpad_and_resize_mask(
+                logits, sample["resize_hw"], sample["original_hw"])
+            encoded_mask, h, w = protocol.encode_sparse_mask(
+                binarize_logits(pred))
+        yield json.dumps({"text": text, "mask": encoded_mask,
+                          "height": str(h), "width": str(w),
+                          "error_code": protocol.ERROR_CODE_OK}
+                         ).encode() + protocol.STREAM_DELIMITER
+
+
+def make_handler(worker: ModelWorker):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def _read_body(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n) or b"{}")
+
+        def do_POST(self):
+            if self.path == "/worker_generate_stream":
+                payload = self._read_body()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.end_headers()
+                for chunk in worker.generate_stream(payload):
+                    self.wfile.write(chunk)
+                    self.wfile.flush()
+            elif self.path == "/worker_get_status":
+                body = json.dumps(worker.status()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+    return Handler
+
+
+def serve(worker: ModelWorker, host: str = "0.0.0.0",
+          port: int = 21002) -> ThreadingHTTPServer:
+    return ThreadingHTTPServer((host, port), make_handler(worker))

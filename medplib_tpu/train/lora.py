@@ -49,6 +49,8 @@ def inject(key, params: Params, target_modules: Sequence[str], r: int,
             continue
         kern = node["kernel"]
         *lead, din, dout = kern.shape
+        if path[-1] in TRANSPOSED_KERNELS:
+            din, dout = dout, din
         key, k1 = jax.random.split(key)
         node["lora_a"] = (jax.random.normal(k1, tuple(lead) + (din, r))
                           * (1.0 / r)).astype(kern.dtype)
@@ -69,23 +71,41 @@ def linear(p: Params, x: jnp.ndarray, scale: float = 2.0) -> jnp.ndarray:
     return y
 
 
+def linear_t(p: Params, x: jnp.ndarray, scale: float = 2.0) -> jnp.ndarray:
+    """Linear with a TRANSPOSED kernel [out, in] (attention q/k/v storage,
+    see models/llama.py init_layer). LoRA adapters keep their usual
+    [in, r]/[r, out] shapes."""
+    y = jnp.einsum("...i,oi->...o", x, p["kernel"])
+    if "lora_a" in p:
+        y = y + ((x @ p["lora_a"]) @ p["lora_b"]) * scale
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+# kernels stored [out, in] instead of [in, out]
+TRANSPOSED_KERNELS = ("q_proj", "k_proj", "v_proj")
+
+
 def merge(params: Params, scale: float = 2.0) -> Params:
     """Fold LoRA deltas into kernels and drop adapter leaves (export path)."""
-    def rec(node):
+    def rec(node, name=""):
         if isinstance(node, dict):
             out = {}
             if "kernel" in node and "lora_a" in node:
                 delta = jnp.einsum("...ir,...ro->...io", node["lora_a"],
                                    node["lora_b"]) * scale
+                if name in TRANSPOSED_KERNELS:
+                    delta = jnp.swapaxes(delta, -1, -2)
                 out["kernel"] = node["kernel"] + delta.astype(
                     node["kernel"].dtype)
                 for k, v in node.items():
                     if k not in ("kernel", "lora_a", "lora_b"):
-                        out[k] = rec(v)
+                        out[k] = rec(v, k)
                 return out
-            return {k: rec(v) for k, v in node.items()}
+            return {k: rec(v, k) for k, v in node.items()}
         if isinstance(node, list):
-            return [rec(v) for v in node]
+            return [rec(v, name) for v in node]
         return node
     return rec(params)
 

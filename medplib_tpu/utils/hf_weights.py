@@ -66,9 +66,11 @@ def llama_from_hf(sd: Mapping[str, Any], cfg: LlamaConfig,
     layers = {
         "input_layernorm": {"weight": stk("input_layernorm", transpose=False)},
         "attn": {
-            "q_proj": {"kernel": stk("self_attn.q_proj")},
-            "k_proj": {"kernel": stk("self_attn.k_proj")},
-            "v_proj": {"kernel": stk("self_attn.v_proj")},
+            # q/k/v stay in torch's [out, in] layout (decode-major storage,
+            # models/llama.py init_layer)
+            "q_proj": {"kernel": stk("self_attn.q_proj", transpose=False)},
+            "k_proj": {"kernel": stk("self_attn.k_proj", transpose=False)},
+            "v_proj": {"kernel": stk("self_attn.v_proj", transpose=False)},
             "o_proj": {"kernel": stk("self_attn.o_proj")},
         },
         "post_attention_layernorm": {

@@ -1,0 +1,143 @@
+"""Serving stack: controller registry/dispatch + worker streaming
+end-to-end over real HTTP."""
+
+import json
+import threading
+import time
+
+import jax
+import numpy as np
+import pytest
+
+requests = pytest.importorskip("requests")
+
+from medplib_tpu.config import MedplibConfig
+from medplib_tpu.models import medplib
+from medplib_tpu.serve import controller as ctl
+from medplib_tpu.serve import protocol
+from medplib_tpu.serve import worker as wk
+
+
+def _free_port():
+    import socket
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture()
+def controller_server():
+    port = _free_port()
+    httpd = ctl.serve("127.0.0.1", port)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}", httpd
+    httpd.controller.shutdown()
+    httpd.shutdown()
+
+
+def test_register_dispatch_and_expiry(controller_server):
+    url, httpd = controller_server
+    for name, q in (("http://w1", 5), ("http://w2", 1)):
+        r = requests.post(url + "/register_worker", json={
+            "worker_name": name, "check_heart_beat": True,
+            "worker_status": {"model_names": ["m"], "speed": 1.0,
+                              "queue_length": q}})
+        assert r.json()["ok"]
+    assert requests.post(url + "/list_models", json={}).json()[
+        "models"] == ["m"]
+    # shortest queue picks w2
+    addr = requests.post(url + "/get_worker_address",
+                         json={"model": "m"}).json()["address"]
+    assert addr == "http://w2"
+    # heartbeat for unknown worker -> exist False
+    r = requests.post(url + "/receive_heart_beat",
+                      json={"worker_name": "http://nope"})
+    assert r.json()["exist"] is False
+    # force expiry
+    httpd.controller.workers["http://w1"].last_heart_beat = 0
+    httpd.controller.remove_stale_workers_by_expiration()
+    assert "http://w1" not in httpd.controller.workers
+
+
+def test_lottery_dispatch():
+    c = ctl.Controller("lottery")
+    c.register_worker("a", False, {"model_names": ["m"], "speed": 1.0,
+                                   "queue_length": 0})
+    c.register_worker("b", False, {"model_names": ["m"], "speed": 0.0,
+                                   "queue_length": 0})
+    np.random.seed(0)
+    picks = {c.get_worker_address("m") for _ in range(20)}
+    assert picks == {"a"}  # zero-speed worker never picked
+    assert c.get_worker_address("other") == ""
+    c.shutdown()
+
+
+class FakeTok:
+    bos_token_id = 1
+    pad_token_id = 0
+    eos_token_id = 2
+    model_max_length = 512
+
+    def __call__(self, text, add_special_tokens=True):
+        ids = ([1] if add_special_tokens else []) + [
+            3 + (hash(w) % 300) for w in text.split()]
+        class R:
+            pass
+        r = R()
+        r.input_ids = ids
+        return r
+
+    def decode(self, ids, skip_special_tokens=False):
+        return " ".join(f"tok{t}" for t in ids)
+
+
+def test_worker_generate_stream_end_to_end():
+    cfg = MedplibConfig.tiny()
+    params = medplib.init_medplib(jax.random.PRNGKey(0), cfg)
+    worker = wk.ModelWorker(cfg, params, FakeTok(), max_seq_len=48,
+                            max_new_tokens=4)
+    # match tiny config shapes
+    worker.cc.image_tokens = cfg.vision.num_patches
+    worker.cc.sam_image_size = cfg.sam.image_size
+    worker.cc.clip_image_size = cfg.vision.image_size
+
+    port = _free_port()
+    httpd = wk.serve(worker, "127.0.0.1", port)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        img = (np.random.default_rng(0).uniform(0, 255, (64, 80, 3))
+               ).astype(np.uint8)
+        payload = {
+            "prompt": "USER: <image>\nWhat is this? ASSISTANT:",
+            "images": [protocol.encode_image_b64(img)],
+        }
+        r = requests.post(f"http://127.0.0.1:{port}/worker_generate_stream",
+                          json=payload, timeout=600)
+        chunks = list(protocol.stream_chunks(r.content))
+        assert len(chunks) >= 1
+        final = chunks[-1]
+        assert final["error_code"] == 0
+        assert isinstance(final["text"], str) and final["text"]
+        # mask ships as sparse coords decodable to the original size
+        if final["mask"]:
+            m = protocol.decode_sparse_mask(
+                final["mask"], int(final["height"]), int(final["width"]))
+            assert m.shape == (64, 80)
+        status = requests.post(
+            f"http://127.0.0.1:{port}/worker_get_status", json={}).json()
+        assert status["model_names"] == ["medplib-tpu"]
+        assert status["queue_length"] == 0
+    finally:
+        httpd.shutdown()
+
+
+def test_sparse_mask_roundtrip():
+    m = np.zeros((5, 7), np.uint8)
+    m[1, 2] = m[4, 6] = 1
+    coords, h, w = protocol.encode_sparse_mask(m)
+    m2 = protocol.decode_sparse_mask(coords, h, w)
+    np.testing.assert_array_equal(m, m2)
