@@ -24,9 +24,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache: the 7B generate program takes a long time to
+# compile through the remote TPU compiler; cache it across runs
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 H100_REFERENCE_MASKS_PER_SEC = 2.5  # documented estimate, see module docstring
 
 SMALL = os.environ.get("BENCH_SMALL") == "1"
+
+
+def log(msg):
+    import sys, time
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def main():
@@ -36,7 +48,10 @@ def main():
     num_layers = 4 if SMALL else 32
     cfg = ge._flagship_cfg(num_layers=num_layers)
     rng = np.random.default_rng(0)
+    log("init params...")
     params = medplib.init_medplib(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    jax.block_until_ready(params)
+    log("init done")
 
     # B=2: 7B bf16 params (~14.5G with towers) + KV cache must fit 16G HBM
     B = 2
@@ -54,7 +69,9 @@ def main():
         # synchronize with device execution, only a fetch does
         return float(jnp.sum(res.pred_masks))
 
+    log("compiling generate...")
     run_once(batch)  # compile + warm
+    log("compile done")
     iters = 3 if SMALL else 5
     t0 = time.time()
     for i in range(iters):

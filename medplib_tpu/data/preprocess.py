@@ -60,8 +60,29 @@ def center_pad(x: np.ndarray, size: int, pad_value) -> np.ndarray:
     return out
 
 
+def _native():
+    """C++ fast path (medplib_tpu/native) — lazy, cached, optional."""
+    global _NATIVE
+    if _NATIVE is _UNSET:
+        try:
+            from medplib_tpu import native
+            _NATIVE = native if native.available() else None
+        except Exception:
+            _NATIVE = None
+    return _NATIVE
+
+
+_UNSET = object()
+_NATIVE = _UNSET
+USE_NATIVE = True
+
+
 def preprocess_sam(image_rgb: np.ndarray, size: int = 256):
     """-> (pixels [size, size, 3] f32 normalized, resize_hw before pad)."""
+    nat = _native() if USE_NATIVE else None
+    if nat is not None and image_rgb.ndim == 3 and image_rgb.dtype == np.uint8:
+        return nat.sam_preprocess(image_rgb, size, SAM_PIXEL_MEAN,
+                                  SAM_PIXEL_STD)
     resized = resize_longest_side(image_rgb, size)
     resize_hw = resized.shape[:2]
     x = (resized.astype(np.float32) - SAM_PIXEL_MEAN) / SAM_PIXEL_STD
@@ -71,6 +92,9 @@ def preprocess_sam(image_rgb: np.ndarray, size: int = 256):
 def preprocess_clip(image_rgb: np.ndarray, size: int = 336) -> np.ndarray:
     """-> [size, size, 3] f32, CLIP-normalized (HF processor equivalent on an
     already-square input)."""
+    nat = _native() if USE_NATIVE else None
+    if nat is not None and image_rgb.ndim == 3 and image_rgb.dtype == np.uint8:
+        return nat.clip_preprocess(image_rgb, size, CLIP_MEAN, CLIP_STD)
     resized = resize_longest_side(image_rgb, size)
     padded = center_pad(resized.astype(np.float32), size,
                         CLIP_PAD_VALUE.astype(np.float32))

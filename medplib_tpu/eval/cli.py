@@ -1,0 +1,89 @@
+"""Evaluation CLI — the vqa_infer.py equivalent.
+
+Chunked data-parallel inference over a test JSON, VQA or pixel-grounding
+mode, answers jsonl + metrics (rebuilds /root/reference/model/eval/
+vqa_infer.py's argparse surface; the shell fan-out lives in
+scripts/infer_parallel.sh).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def build_argparser():
+    ap = argparse.ArgumentParser(description="MedPLIB-TPU eval")
+    ap.add_argument("--version", required=True, help="orbax params dir")
+    ap.add_argument("--tokenizer", required=True)
+    ap.add_argument("--dataset-json", required=True)
+    ap.add_argument("--image-folder", required=True)
+    ap.add_argument("--mode", default="vqa", choices=["vqa", "seg"])
+    ap.add_argument("--num-chunks", type=int, default=1)
+    ap.add_argument("--chunk-idx", type=int, default=0)
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--max-new-tokens", type=int, default=128)
+    ap.add_argument("--model-max-length", type=int, default=512)
+    ap.add_argument("--moe-enable", action="store_true")
+    ap.add_argument("--num-experts", type=int, default=2)
+    ap.add_argument("--conv-template", default="v1")
+    ap.add_argument("--answers-file", default="answers.jsonl")
+    ap.add_argument("--vis-mask", action="store_true")
+    ap.add_argument("--vis-save-path", default="./vis_output")
+    ap.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    ap.add_argument("--metrics-file", default=None)
+    return ap
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    from medplib_tpu.config import MedplibConfig, MoeConfig
+    from medplib_tpu.data import tokenize as tk
+    from medplib_tpu.data.dataset import (CollatorConfig, DataConfig,
+                                          LazySupervisedDataset)
+    from medplib_tpu.eval.infer import EvalConfig, Evaluator
+    from medplib_tpu.utils.checkpoint import load_params
+    from medplib_tpu.utils.hf_weights import cast_tree
+
+    tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+    tk.add_special_tokens(tokenizer)
+    cfg = MedplibConfig(
+        moe=MoeConfig(enable=args.moe_enable, num_experts=args.num_experts,
+                      top_k=1, capacity_factor=1.5, eval_capacity_factor=2.0,
+                      moe_mode="dense"),
+        seg_token_idx=tokenizer.convert_tokens_to_ids("<SEG>"),
+        vocab_size_padded=len(tokenizer))
+    params = load_params(args.version)
+    if args.precision == "bf16":
+        params = cast_tree(params, jnp.bfloat16)
+
+    dataset = LazySupervisedDataset(
+        DataConfig(data_path=args.dataset_json,
+                   image_folder=args.image_folder,
+                   conv_template=args.conv_template, augment_regions=False),
+        tokenizer, train=False)
+    ecfg = EvalConfig(
+        num_chunks=args.num_chunks, chunk_idx=args.chunk_idx,
+        batch_size=args.batch_size, max_new_tokens=args.max_new_tokens,
+        output_path=args.answers_file,
+        vis_dir=args.vis_save_path if args.vis_mask else None)
+    cc = CollatorConfig(
+        max_seq_len=args.model_max_length,
+        image_tokens=cfg.vision.num_patches,
+        sam_image_size=cfg.sam.image_size,
+        clip_image_size=cfg.vision.image_size,
+        pad_token_id=tokenizer.pad_token_id or 0)
+    evaluator = Evaluator(cfg, params, tokenizer, ecfg, cc)
+    metrics = evaluator.run(dataset, mode=args.mode)
+    print(json.dumps(metrics, indent=2, default=str))
+    if args.metrics_file:
+        with open(args.metrics_file, "w") as f:
+            json.dump(metrics, f, default=str)
+
+
+if __name__ == "__main__":
+    main()

@@ -115,12 +115,76 @@ def gate(logits: jnp.ndarray, k: int, capacity: int) -> GateOutput:
     raise NotImplementedError(f"top-{k} gating")
 
 
+class SortDispatch(NamedTuple):
+    """Sorted token routing: which token fills each [E, C] expert slot."""
+
+    slot_token: jnp.ndarray   # [E*C] source token (or S for empty slots)
+    token_slot: jnp.ndarray   # [S*k] destination slot (E*C for dropped)
+    token_prob: jnp.ndarray   # [S*k] combine weight (0 for dropped)
+    token_src: jnp.ndarray    # [S*k] original token id of the entry
+    aux_loss: jnp.ndarray
+
+
+def sort_dispatch(logits: jnp.ndarray, k: int, capacity: int) -> SortDispatch:
+    """DeepSpeed-equivalent routing via a stable sort instead of one-hot
+    matmuls: the einsum dispatch is O(S * E * C * H) — quadratic in tokens —
+    while this is O(S log S + S * H) gathers. Slot assignment reproduces the
+    cumsum position semantics exactly: entries are laid out
+    [all 1st choices in token order, then all 2nd choices] so a stable sort
+    by expert yields deepspeed's per-expert ordering (top-2 second choices
+    after first choices, medplib's top1gating/top2gating)."""
+    s, e = logits.shape
+    gates = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    experts, probs = [], []
+    masked = gates
+    for _ in range(k):
+        idx = jnp.argmax(masked, axis=-1)
+        experts.append(idx)
+        probs.append(jnp.take_along_axis(gates, idx[:, None], axis=1)[:, 0])
+        masked = jnp.where(jax.nn.one_hot(idx, e, dtype=bool), -jnp.inf,
+                           masked)
+    flat_expert = jnp.concatenate(experts)  # [S*k], choice-major
+    flat_prob = jnp.concatenate(probs)
+    flat_token = jnp.tile(jnp.arange(s), k)
+
+    me = jnp.mean(gates, axis=0)
+    ce = jnp.mean(jax.nn.one_hot(experts[0], e), axis=0)
+    aux = jnp.sum(me * ce) * e
+
+    order = jnp.argsort(flat_expert, stable=True)          # [S*k]
+    sorted_expert = flat_expert[order]
+    group_start = jnp.searchsorted(sorted_expert, sorted_expert, side="left")
+    rank = jnp.arange(s * k) - group_start                  # rank in expert
+    keep = rank < capacity
+    slot_of_sorted = jnp.where(keep, sorted_expert * capacity + rank,
+                               e * capacity)
+
+    token_slot = jnp.full((s * k,), e * capacity, jnp.int32)
+    token_slot = token_slot.at[order].set(slot_of_sorted.astype(jnp.int32))
+    token_prob = jnp.where(token_slot < e * capacity, flat_prob, 0.0)
+    if k == 2:
+        # top2gating normalizes AFTER capacity dropping: a dropped first
+        # choice shifts full weight onto the surviving second choice
+        p1, p2 = token_prob[:s], token_prob[s:]
+        denom = jnp.clip(p1 + p2, 1e-9, None)
+        token_prob = jnp.concatenate([p1 / denom, p2 / denom])
+        token_prob = jnp.where(token_slot < e * capacity, token_prob, 0.0)
+
+    slot_token = jnp.full((e * capacity + 1,), s, jnp.int32)
+    slot_token = slot_token.at[slot_of_sorted].set(
+        flat_token[order].astype(jnp.int32), mode="drop")
+    return SortDispatch(slot_token=slot_token[:-1], token_slot=token_slot,
+                        token_prob=token_prob, token_src=flat_token,
+                        aux_loss=aux)
+
+
 def moe_mlp(
     moe_params,
     x: jnp.ndarray,
     cfg: MoeConfig,
     train: bool = True,
     ep_shard: bool = False,
+    dispatch_mode: str = "sort",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Expert-parallel SwiGLU MoE MLP.
 
@@ -138,10 +202,16 @@ def moe_mlp(
 
     logits = xs.astype(jnp.float32) @ moe_params["router"]["kernel"].astype(
         jnp.float32)
-    g = gate(logits, cfg.top_k, capacity)
 
-    dispatch = g.dispatch.astype(x.dtype)
-    expert_in = jnp.einsum("sec,sh->ech", dispatch, xs)  # [E, C, H]
+    if dispatch_mode == "sort":
+        d = sort_dispatch(logits, cfg.top_k, capacity)
+        xs_pad = jnp.concatenate([xs, jnp.zeros((1, h), xs.dtype)])
+        expert_in = xs_pad[d.slot_token].reshape(e, capacity, h)
+        aux = d.aux_loss
+    else:
+        g = gate(logits, cfg.top_k, capacity)
+        expert_in = jnp.einsum("sec,sh->ech", g.dispatch.astype(x.dtype), xs)
+        aux = g.aux_loss
     if ep_shard:
         from jax.sharding import PartitionSpec as P
         from medplib_tpu.parallel.mesh import AXIS_EXPERT
@@ -157,5 +227,13 @@ def moe_mlp(
         out_e = jax.lax.with_sharding_constraint(
             out_e, P(AXIS_EXPERT, None, None))
 
-    y = jnp.einsum("sec,ech->sh", g.combine.astype(x.dtype), out_e)
-    return y.reshape(b, t, h), g.aux_loss
+    if dispatch_mode == "sort":
+        flat_out = jnp.concatenate(
+            [out_e.reshape(e * capacity, h), jnp.zeros((1, h), out_e.dtype)])
+        contrib = flat_out[d.token_slot] * d.token_prob[:, None].astype(
+            out_e.dtype)
+        y = jnp.zeros((s, h), x.dtype).at[d.token_src].add(
+            contrib.astype(x.dtype))
+    else:
+        y = jnp.einsum("sec,ech->sh", g.combine.astype(x.dtype), out_e)
+    return y.reshape(b, t, h), aux

@@ -1,0 +1,246 @@
+"""Training CLI — the train_ds_medplib.py equivalent.
+
+Mirrors the reference argparse surface (/root/reference/train_ds_medplib.py:
+30-139) mapped onto typed configs: tokenizer surgery, model build
+(LISA-dense vs MedPLIB-MoE), tower freezing, LoRA injection, MoE init with
+expert donors, dataset/collator, sharded training with auto-resume.
+
+Usage (stage-3 style segmentation SFT):
+  python -m medplib_tpu.train.cli \
+    --version <hf llm dir or orbax params> --tokenizer <tok dir> \
+    --dataset-json data/train.json --image-folder data/images \
+    --exp-name stage3 --lr 3e-4 --epochs 10 --batch-size 2 \
+    --lora-r 8 --lora-target-modules q_proj,v_proj \
+    --mesh-data 1 --mesh-expert 1 --mesh-model 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_argparser():
+    ap = argparse.ArgumentParser(description="MedPLIB-TPU trainer")
+    # model
+    ap.add_argument("--version", required=True,
+                    help="params source: orbax dir or HF export dir")
+    ap.add_argument("--tokenizer", required=True)
+    ap.add_argument("--vision-pretrained", default=None,
+                    help="sam-med2d_b.pth (build_sam.py vision_pretrained)")
+    ap.add_argument("--clip-dir", default=None)
+    ap.add_argument("--moe-enable", action="store_true")
+    ap.add_argument("--num-experts", type=int, default=2)
+    ap.add_argument("--top-k-experts", type=int, default=1)
+    ap.add_argument("--capacity-factor", type=float, default=1.5)
+    ap.add_argument("--eval-capacity-factor", type=float, default=2.0)
+    ap.add_argument("--min-capacity", type=int, default=0)
+    ap.add_argument("--moe-mode", default="dense")
+    ap.add_argument("--router-aux-loss-coef", type=float, default=0.01)
+    ap.add_argument("--expert-pretrained-path", default=None,
+                    help="comma-separated donor checkpoint dirs (stage 4)")
+    # losses
+    ap.add_argument("--ce-loss-weight", type=float, default=1.0)
+    ap.add_argument("--bce-loss-weight", type=float, default=2.0)
+    ap.add_argument("--dice-loss-weight", type=float, default=0.5)
+    ap.add_argument("--focal-loss-weight", type=float, default=0.0)
+    ap.add_argument("--iou-loss-weight", type=float, default=0.0)
+    ap.add_argument("--no-seg", action="store_true")
+    ap.add_argument("--region-fea-adapter", action="store_true")
+    ap.add_argument("--region-geo-sampler", action="store_true")
+    # data
+    ap.add_argument("--dataset-json", required=True)
+    ap.add_argument("--image-folder", required=True)
+    ap.add_argument("--conv-template", default="llava_v1")
+    ap.add_argument("--model-max-length", type=int, default=1024)
+    # optimization
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--epochs", type=int, default=1)
+    ap.add_argument("--steps-per-epoch", type=int, default=500)
+    ap.add_argument("--batch-size", type=int, default=2)
+    ap.add_argument("--grad-accumulation-steps", type=int, default=1)
+    ap.add_argument("--warmup-steps", type=int, default=100)
+    ap.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    ap.add_argument("--lora-r", type=int, default=8)
+    ap.add_argument("--lora-alpha", type=int, default=16)
+    ap.add_argument("--lora-target-modules", default="q_proj,v_proj")
+    ap.add_argument("--no-lora", action="store_true")
+    ap.add_argument("--save-steps", type=int, default=500)
+    ap.add_argument("--log-steps", type=int, default=10)
+    ap.add_argument("--exp-name", default="medplib-tpu")
+    ap.add_argument("--log-base-dir", default="./runs")
+    ap.add_argument("--auto-resume", action="store_true", default=True)
+    # mesh
+    ap.add_argument("--mesh-data", type=int, default=1)
+    ap.add_argument("--mesh-expert", type=int, default=1)
+    ap.add_argument("--mesh-model", type=int, default=1)
+    return ap
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from transformers import AutoTokenizer
+
+    from medplib_tpu.config import (MedplibConfig, MeshConfig, MoeConfig,
+                                    ProjectorConfig, SegConfig, TrainConfig)
+    from medplib_tpu.data import tokenize as tk
+    from medplib_tpu.data.dataset import (CollatorConfig, DataConfig,
+                                          LazySupervisedDataset, collate,
+                                          to_model_batch)
+    from medplib_tpu.models import medplib
+    from medplib_tpu.parallel.mesh import make_mesh, shard_params
+    from medplib_tpu.train import lora as lora_lib
+    from medplib_tpu.train.trainer import Trainer
+
+    tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+    tk.add_special_tokens(tokenizer)
+    seg_idx = tokenizer.convert_tokens_to_ids("<SEG>")
+
+    cfg = MedplibConfig(
+        moe=MoeConfig(
+            enable=args.moe_enable, num_experts=args.num_experts,
+            top_k=args.top_k_experts, capacity_factor=args.capacity_factor,
+            eval_capacity_factor=args.eval_capacity_factor,
+            min_capacity=args.min_capacity, moe_mode=args.moe_mode,
+            router_aux_loss_coef=args.router_aux_loss_coef),
+        seg=SegConfig(
+            enable=not args.no_seg, ce_loss_weight=args.ce_loss_weight,
+            bce_loss_weight=args.bce_loss_weight,
+            dice_loss_weight=args.dice_loss_weight,
+            focal_loss_weight=args.focal_loss_weight,
+            iou_loss_weight=args.iou_loss_weight),
+        projector=ProjectorConfig(
+            region_adapter=args.region_fea_adapter,
+            region_geo_sampler=args.region_geo_sampler),
+        seg_token_idx=seg_idx, vocab_size_padded=len(tokenizer))
+
+    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    params = _load_params(args, cfg, dtype)
+
+    if not args.no_lora:
+        params["llm"] = lora_lib.inject(
+            jax.random.PRNGKey(0), params["llm"],
+            tuple(args.lora_target_modules.split(",")), args.lora_r)
+
+    mesh = make_mesh(MeshConfig(args.mesh_data, args.mesh_expert,
+                                args.mesh_model))
+    with jax.set_mesh(mesh):
+        params = shard_params(mesh, params)
+
+        tcfg = TrainConfig(
+            lr=args.lr, warmup_steps=args.warmup_steps,
+            total_steps=args.epochs * args.steps_per_epoch,
+            batch_size=args.batch_size,
+            grad_accumulation_steps=args.grad_accumulation_steps,
+            epochs=args.epochs, steps_per_epoch=args.steps_per_epoch,
+            lora_enable=not args.no_lora, lora_r=args.lora_r,
+            lora_alpha=args.lora_alpha,
+            save_steps=args.save_steps, log_steps=args.log_steps,
+            max_seq_len=args.model_max_length)
+
+        dataset = LazySupervisedDataset(
+            DataConfig(data_path=args.dataset_json,
+                       image_folder=args.image_folder,
+                       conv_template=args.conv_template),
+            tokenizer, train=True)
+        cc = CollatorConfig(
+            max_seq_len=args.model_max_length,
+            image_tokens=cfg.vision.num_patches,
+            sam_image_size=cfg.sam.image_size,
+            clip_image_size=cfg.vision.image_size,
+            pad_token_id=tokenizer.pad_token_id or 0)
+
+        def batch_iterator():
+            rng = np.random.default_rng(42)
+            order = rng.permutation(len(dataset))
+            pos = 0
+            while True:
+                micro = []
+                for _ in range(args.grad_accumulation_steps):
+                    idxs = [order[(pos + j) % len(dataset)]
+                            for j in range(args.batch_size)]
+                    pos += args.batch_size
+                    arrays, _ = collate([dataset[int(i)] for i in idxs], cc)
+                    micro.append(to_model_batch(arrays))
+                yield jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *micro)
+
+        log_dir = os.path.join(args.log_base_dir, args.exp_name)
+        trainer = Trainer(cfg, tcfg, params, log_dir,
+                          ep_shard=args.mesh_expert > 1,
+                          seg_flag=not args.no_seg,
+                          rp_flag=args.region_fea_adapter or
+                          args.region_geo_sampler)
+        final = trainer.fit(batch_iterator)
+        print(f"training done at step {final}; checkpoints in {log_dir}")
+
+
+def _load_params(args, cfg, dtype):
+    import jax
+    from medplib_tpu.models import medplib
+    from medplib_tpu.utils.checkpoint import load_params
+    from medplib_tpu.utils.export import load_reference_checkpoint
+    from medplib_tpu.utils.hf_weights import cast_tree
+
+    if os.path.exists(os.path.join(args.version, "config.json")) or \
+            any(f.endswith((".bin", ".safetensors"))
+                for f in os.listdir(args.version)):
+        _, params = load_reference_checkpoint(
+            args.version, args.vision_pretrained, args.clip_dir,
+            moe=args.moe_enable, num_experts=args.num_experts)
+        full = medplib.init_medplib(jax.random.PRNGKey(0), cfg, dtype)
+        for k, v in params.items():
+            full[k] = v
+        params = full
+    else:
+        params = load_params(args.version)
+
+    if args.expert_pretrained_path and cfg.moe.enable:
+        params = _seed_experts_from_donors(args, cfg, params)
+    return cast_tree(params, dtype)
+
+
+def _seed_experts_from_donors(args, cfg, params):
+    """Stage-4 expert surgery (medplib_moe_llama.py:488-650): expert e is
+    initialized from donor checkpoint e's dense MLP weights; donor 0 (the
+    stage-3 seg specialist) also supplies text_hidden_fcs + mask_decoder,
+    donor 1 (stage-2 VQA) the region_fea_adapter."""
+    from medplib_tpu.models.moe_llama import build_experts_from_donors
+    from medplib_tpu.utils.export import load_hf_torch_dir
+    from medplib_tpu.utils.hf_weights import llama_from_hf, to_np
+
+    donor_mlps = []
+    for idx, path in enumerate(args.expert_pretrained_path.split(",")):
+        sd = load_hf_torch_dir(path)
+        donor = llama_from_hf(sd, cfg.llm)
+        donor_mlps.append(donor["layers"]["mlp"])
+        if idx == 0:
+            if "model.text_hidden_fcs.0.0.weight" in sd:
+                params["text_hidden_fcs"] = {
+                    "fc1": {"kernel": to_np(
+                        sd["model.text_hidden_fcs.0.0.weight"]).T,
+                        "bias": to_np(sd["model.text_hidden_fcs.0.0.bias"])},
+                    "fc2": {"kernel": to_np(
+                        sd["model.text_hidden_fcs.0.2.weight"]).T,
+                        "bias": to_np(sd["model.text_hidden_fcs.0.2.bias"])},
+                }
+            dec = {k[len("model.visual_model."):]: v for k, v in sd.items()
+                   if k.startswith("model.visual_model.mask_decoder")}
+            if dec:
+                from medplib_tpu.utils.hf_weights import _sam_mask_decoder
+                params["sam"]["mask_decoder"] = _sam_mask_decoder(dec,
+                                                                  cfg.sam)
+        elif "model.region_fea_adapter.weight" in sd:
+            params["region_fea_adapter"] = {
+                "kernel": to_np(sd["model.region_fea_adapter.weight"]).T,
+                "bias": to_np(sd["model.region_fea_adapter.bias"])}
+    params["llm"]["layers"]["moe"]["experts"] = build_experts_from_donors(
+        donor_mlps)
+    return params
+
+
+if __name__ == "__main__":
+    main()

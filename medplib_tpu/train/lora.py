@@ -63,7 +63,10 @@ def inject(key, params: Params, target_modules: Sequence[str], r: int,
 
 def linear(p: Params, x: jnp.ndarray, scale: float = 2.0) -> jnp.ndarray:
     """x @ kernel with optional LoRA path. `scale` = alpha / r."""
-    y = x @ p["kernel"]
+    if p["kernel"].dtype == jnp.int8:
+        y = x @ (p["kernel"].astype(x.dtype) * p["scale"].astype(x.dtype))
+    else:
+        y = x @ p["kernel"]
     if "lora_a" in p:
         y = y + ((x @ p["lora_a"]) @ p["lora_b"]) * scale
     if "bias" in p:
@@ -75,7 +78,11 @@ def linear_t(p: Params, x: jnp.ndarray, scale: float = 2.0) -> jnp.ndarray:
     """Linear with a TRANSPOSED kernel [out, in] (attention q/k/v storage,
     see models/llama.py init_layer). LoRA adapters keep their usual
     [in, r]/[r, out] shapes."""
-    y = jnp.einsum("...i,oi->...o", x, p["kernel"])
+    if p["kernel"].dtype == jnp.int8:
+        w = p["kernel"].astype(x.dtype) * p["scale"].astype(x.dtype)
+    else:
+        w = p["kernel"]
+    y = jnp.einsum("...i,oi->...o", x, w)
     if "lora_a" in p:
         y = y + ((x @ p["lora_a"]) @ p["lora_b"]) * scale
     if "bias" in p:

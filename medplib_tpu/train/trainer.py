@@ -150,6 +150,14 @@ class Trainer:
                     batches = next(it)
                 except StopIteration:
                     break
+                except Exception as e:  # noqa: BLE001 - loader fault
+                    # tolerate data-loader faults by re-opening the iterator
+                    # (the reference swallows loader errors the same way,
+                    # train_ds_medplib.py:580-584)
+                    print(f"data loader error, re-iterating: {e}",
+                          flush=True)
+                    it = batch_iterator()
+                    batches = next(it)
                 self.state, metrics = self.step_fn(self.state, batches)
                 metrics = {k: float(v) for k, v in metrics.items()}
                 batch_time.update(time.time() - t0)
