@@ -49,7 +49,11 @@ def main():
     cfg = ge._flagship_cfg(num_layers=num_layers)
     rng = np.random.default_rng(0)
     log("init params...")
-    params = medplib.init_medplib(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    # jit the whole init: eager init is hundreds of small device ops, each a
+    # round-trip through the axon tunnel (minutes); one fused program is secs
+    params = jax.jit(
+        lambda k: medplib.init_medplib(k, cfg, jnp.bfloat16)
+    )(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
     log("init done")
 
