@@ -58,7 +58,7 @@ def main():
     log("init done")
 
     # B=2: 7B bf16 params (~14.5G with towers) + KV cache must fit 16G HBM
-    B = 2
+    B = int(os.environ.get("BENCH_B", "2"))
     T_in = 48  # prompt tokens incl. <image> sentinel (splices to ~623)
     max_new = 10  # typical grounding answer: "It is <SEG>." + stop
     batch = ge._make_batch(cfg, B=B, T=T_in, rng=rng)
@@ -77,11 +77,18 @@ def main():
     run_once(batch)  # compile + warm
     log("compile done")
     iters = 3 if SMALL else 5
-    t0 = time.time()
+    # pre-build perturbed inputs OUTSIDE the timed loop: an eager .at[].set()
+    # per iteration is its own dispatch through the axon tunnel and would
+    # dominate the measurement
+    ids = np.asarray(batch.input_ids)
+    variants = []
     for i in range(iters):
-        # perturb input so no caching layer can elide work
-        b = batch._replace(
-            input_ids=batch.input_ids.at[0, 5].set(100 + i))
+        v = ids.copy()
+        v[0, 5] = 100 + i  # perturb so no caching layer can elide work
+        variants.append(batch._replace(input_ids=jnp.asarray(v)))
+    jax.block_until_ready([v.input_ids for v in variants])
+    t0 = time.time()
+    for b in variants:
         run_once(b)
     dt = (time.time() - t0) / iters
     masks_per_sec = B / dt

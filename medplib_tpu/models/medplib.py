@@ -93,7 +93,10 @@ def init_medplib(key, cfg: MedplibConfig, dtype=jnp.float32) -> Params:
         "mm_projector": projector.init_projector(ks[2], cfg.projector, dtype),
         "region_fea_adapter": projector.init_region_adapter(
             ks[3], cfg.projector.mm_hidden_size, h, dtype),
-        "sam": sam_med2d.init_sam(ks[4], cfg.sam, jnp.float32),
+        # SAM inherits the model dtype: on TPU the frozen tower runs fine in
+        # bf16 (2x HBM traffic saved, MXU-native); weight translation from
+        # the released f32 .pth goes through hf_weights.cast_tree instead
+        "sam": sam_med2d.init_sam(ks[4], cfg.sam, dtype),
         # text_hidden_fcs: Linear(h,h) -> ReLU -> Linear(h,out) -> Dropout(0)
         # (MedPLIB.py:152-160)
         "text_hidden_fcs": {

@@ -386,7 +386,7 @@ def embed_boxes(params: Params, cfg: SamConfig, boxes: jnp.ndarray):
 def embed_mask_input(params: Params, masks: jnp.ndarray) -> jnp.ndarray:
     """masks [B, 4h, 4w, 1] -> dense embedding [B, h, w, embed_dim]."""
     p = params["mask_downscaling"]
-    x = masks
+    x = masks.astype(p["conv1"]["kernel"].dtype)
 
     def conv(x, cp, stride):
         return jax.lax.conv_general_dilated(
@@ -530,13 +530,19 @@ def decode_masks(
     p = params
     b = sparse_prompts.shape[0]
     num_mask_tokens = cfg.num_multimask_outputs + 1
+    # run the decoder in the weight dtype: dense_pe/_pe_encoding compute in
+    # f32 (sin/cos accuracy) but a f32 operand would promote the whole head
+    # and break bf16 convs
+    wdtype = p["iou_token"].dtype
+    image_pe = image_pe.astype(wdtype)
     output_tokens = jnp.concatenate([p["iou_token"], p["mask_tokens"]], axis=0)
     tokens = jnp.concatenate(
         [jnp.broadcast_to(output_tokens[None], (b,) + output_tokens.shape),
-         sparse_prompts], axis=1)
+         sparse_prompts.astype(wdtype)], axis=1)
 
     h, w = image_embeddings.shape[1:3]
-    src = (image_embeddings + dense_prompts).reshape(b, h * w, -1)
+    src = (image_embeddings.astype(wdtype) +
+           dense_prompts.astype(wdtype)).reshape(b, h * w, -1)
     pos = jnp.broadcast_to(image_pe.reshape(1, h * w, -1),
                            (b, h * w, image_pe.shape[-1]))
 

@@ -145,6 +145,46 @@ def load_reference_checkpoint(
     return cfg, params
 
 
+def export_seg_decoder(params: Any, cfg, batch_size: int = 1,
+                       num_segs: int = 1,
+                       platforms=("tpu", "cpu")) -> bytes:
+    """Serialize the SEG->mask decode head as portable StableHLO.
+
+    TPU-native counterpart of the reference's SAM ONNX export
+    (model/segment_anything_med2d/utils/onnx.py SamOnnxModel): a
+    standalone deployable artifact that takes (sam image embeddings,
+    projected SEG text embeddings) and returns (mask logits, iou). Use
+    `jax.export.deserialize(blob).call(...)` to run it anywhere XLA runs.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+    from medplib_tpu.models import medplib
+
+    e = cfg.sam.image_embedding_size
+    d = cfg.sam.prompt_embed_dim
+
+    def decode(sam_params, text_params, sam_emb, hidden):
+        seg = medplib.text_hidden_fcs(text_params, hidden)
+        full = {"sam": sam_params, "text_hidden_fcs": text_params}
+        return medplib.decode_seg_masks(full, cfg, sam_emb, seg,
+                                        cfg.sam.image_size)
+
+    sub = {k: params[k] for k in ("sam", "text_hidden_fcs")}
+    sam_spec = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), sub["sam"])
+    txt_spec = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+        sub["text_hidden_fcs"])
+    ldtype = sub["text_hidden_fcs"]["fc1"]["kernel"].dtype
+    emb_spec = jax.ShapeDtypeStruct((batch_size, e, e, d), ldtype)
+    hid_spec = jax.ShapeDtypeStruct(
+        (batch_size, num_segs, cfg.llm.hidden_size), ldtype)
+    exported = jexport.export(jax.jit(decode), platforms=list(platforms))(
+        sam_spec, txt_spec, emb_spec, hid_spec)
+    return bytes(exported.serialize())
+
+
 def main():
     import argparse
     ap = argparse.ArgumentParser(description="checkpoint tools")

@@ -1,0 +1,37 @@
+"""StableHLO deployment export of the SEG->mask decode head (counterpart of
+the reference's SAM ONNX export)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medplib_tpu.config import MedplibConfig
+from medplib_tpu.models import medplib
+from medplib_tpu.utils.export import export_seg_decoder
+
+
+def test_export_roundtrip_matches_direct_call():
+    cfg = MedplibConfig.tiny()
+    params = medplib.init_medplib(jax.random.PRNGKey(0), cfg)
+    blob = export_seg_decoder(params, cfg, batch_size=2, num_segs=1,
+                              platforms=("cpu",))
+    assert isinstance(blob, (bytes, bytearray)) and len(blob) > 1000
+
+    from jax import export as jexport
+    fn = jexport.deserialize(blob)
+
+    e = cfg.sam.image_embedding_size
+    d = cfg.sam.prompt_embed_dim
+    sam_emb = jax.random.normal(jax.random.PRNGKey(1), (2, e, e, d))
+    hidden = jax.random.normal(jax.random.PRNGKey(2),
+                               (2, 1, cfg.llm.hidden_size))
+    sub = {k: params[k] for k in ("sam", "text_hidden_fcs")}
+    masks, iou = fn.call(sub["sam"], sub["text_hidden_fcs"], sam_emb, hidden)
+
+    seg = medplib.text_hidden_fcs(params["text_hidden_fcs"], hidden)
+    ref_masks, ref_iou = medplib.decode_seg_masks(params, cfg, sam_emb, seg,
+                                                  cfg.sam.image_size)
+    np.testing.assert_allclose(np.asarray(masks), np.asarray(ref_masks),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(iou), np.asarray(ref_iou),
+                               atol=1e-5)
