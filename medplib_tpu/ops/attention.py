@@ -77,7 +77,7 @@ def causal_attention(
     use_flash = impl == "flash" or (
         impl == "auto"
         and jax.default_backend() == "tpu"
-        and q.shape[1] >= 1024
+        and q.shape[1] >= 512  # covers the 623-token VQA prefill
         and q.shape[-1] % 128 == 0
     )
     if use_flash:

@@ -20,6 +20,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -134,7 +135,32 @@ def _xla_reference(q, k, v, attn_mask):
     return _xla_attention(q, k, v, bias)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_vjp(q, k, v, attn_mask, causal, block_sizes):
+    # attn_mask is a traced int array -> it must be a REGULAR custom_vjp
+    # argument (nondiff_argnums is only for non-tracer static values); its
+    # cotangent is the symbolic-zero float0.
+    bq, bk = block_sizes
+    return _flash_forward(q, k, v, attn_mask, min(bq, max(q.shape[1], 8)),
+                          min(bk, k.shape[1]))
+
+
+def _fwd(q, k, v, attn_mask, causal, block_sizes):
+    out = _flash_vjp(q, k, v, attn_mask, causal, block_sizes)
+    return out, (q, k, v, attn_mask)
+
+
+def _bwd(causal, block_sizes, res, g):
+    q, k, v, attn_mask = res
+    _, vjp = jax.vjp(lambda q, k, v: _xla_reference(q, k, v, attn_mask),
+                     q, k, v)
+    dmask = np.zeros(attn_mask.shape, jax.dtypes.float0)
+    return vjp(g) + (dmask,)
+
+
+_flash_vjp.defvjp(_fwd, _bwd)
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -144,19 +170,9 @@ def flash_attention(
     block_sizes: tuple = (512, 512),
 ) -> jnp.ndarray:
     assert causal, "only causal supported"
-    bq, bk = block_sizes
-    return _flash_forward(q, k, v, attn_mask, min(bq, max(q.shape[1], 8)),
-                          min(bk, k.shape[1]))
-
-
-def _fwd(q, k, v, attn_mask, causal, block_sizes):
-    return flash_attention(q, k, v, attn_mask, causal, block_sizes), (q, k, v)
-
-
-def _bwd(attn_mask, causal, block_sizes, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: _xla_reference(q, k, v, attn_mask), q, k, v)
-    return vjp(g)
-
-
-flash_attention.defvjp(_fwd, _bwd)
+    if attn_mask is None:
+        return _flash_forward(q, k, v, None,
+                              min(block_sizes[0], max(q.shape[1], 8)),
+                              min(block_sizes[1], k.shape[1]))
+    return _flash_vjp(q, k, v, attn_mask.astype(jnp.int32), causal,
+                      block_sizes)
