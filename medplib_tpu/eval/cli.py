@@ -33,6 +33,10 @@ def build_argparser():
     ap.add_argument("--vis-save-path", default="./vis_output")
     ap.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
     ap.add_argument("--metrics-file", default=None)
+    # debug (the reference's --cpu_only analog, vqa_infer.py:90)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model config for CPU smoke/debug; "
+                         "--version random initializes random params")
     return ap
 
 
@@ -51,20 +55,34 @@ def main(argv=None):
 
     tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
     tk.add_special_tokens(tokenizer)
-    cfg = MedplibConfig(
-        moe=MoeConfig(enable=args.moe_enable, num_experts=args.num_experts,
-                      top_k=1, capacity_factor=1.5, eval_capacity_factor=2.0,
-                      moe_mode="dense"),
-        seg_token_idx=tokenizer.convert_tokens_to_ids("<SEG>"),
-        vocab_size_padded=len(tokenizer))
-    params = load_params(args.version)
+    moe_cfg = MoeConfig(enable=args.moe_enable, num_experts=args.num_experts,
+                        top_k=1, capacity_factor=1.5,
+                        eval_capacity_factor=2.0, moe_mode="dense")
+    seg_idx = tokenizer.convert_tokens_to_ids("<SEG>")
+    if args.tiny:
+        import dataclasses
+        cfg = dataclasses.replace(
+            MedplibConfig.tiny(), moe=moe_cfg, seg_token_idx=seg_idx,
+            vocab_size_padded=max(len(tokenizer) + 8, 64))
+    else:
+        cfg = MedplibConfig(moe=moe_cfg, seg_token_idx=seg_idx,
+                            vocab_size_padded=len(tokenizer))
+    if args.version == "random":
+        import jax
+        from medplib_tpu.models import medplib
+        params = medplib.init_medplib(jax.random.PRNGKey(0), cfg)
+    else:
+        params = load_params(args.version)
     if args.precision == "bf16":
         params = cast_tree(params, jnp.bfloat16)
 
     dataset = LazySupervisedDataset(
         DataConfig(data_path=args.dataset_json,
                    image_folder=args.image_folder,
-                   conv_template=args.conv_template, augment_regions=False),
+                   conv_template=args.conv_template, augment_regions=False,
+                   sam_image_size=cfg.sam.image_size,
+                   clip_image_size=cfg.vision.image_size,
+                   clip_patch=cfg.vision.patch_size),
         tokenizer, train=False)
     ecfg = EvalConfig(
         num_chunks=args.num_chunks, chunk_idx=args.chunk_idx,

@@ -74,6 +74,10 @@ def build_argparser():
     ap.add_argument("--mesh-data", type=int, default=1)
     ap.add_argument("--mesh-expert", type=int, default=1)
     ap.add_argument("--mesh-model", type=int, default=1)
+    # debug (the reference's --cpu_only analog, vqa_infer.py:90)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model config for CPU smoke/debug runs; "
+                         "--version random initializes random params")
     return ap
 
 
@@ -99,23 +103,33 @@ def main(argv=None):
     tk.add_special_tokens(tokenizer)
     seg_idx = tokenizer.convert_tokens_to_ids("<SEG>")
 
-    cfg = MedplibConfig(
-        moe=MoeConfig(
-            enable=args.moe_enable, num_experts=args.num_experts,
-            top_k=args.top_k_experts, capacity_factor=args.capacity_factor,
-            eval_capacity_factor=args.eval_capacity_factor,
-            min_capacity=args.min_capacity, moe_mode=args.moe_mode,
-            router_aux_loss_coef=args.router_aux_loss_coef),
-        seg=SegConfig(
-            enable=not args.no_seg, ce_loss_weight=args.ce_loss_weight,
-            bce_loss_weight=args.bce_loss_weight,
-            dice_loss_weight=args.dice_loss_weight,
-            focal_loss_weight=args.focal_loss_weight,
-            iou_loss_weight=args.iou_loss_weight),
-        projector=ProjectorConfig(
-            region_adapter=args.region_fea_adapter,
-            region_geo_sampler=args.region_geo_sampler),
-        seg_token_idx=seg_idx, vocab_size_padded=len(tokenizer))
+    moe_cfg = MoeConfig(
+        enable=args.moe_enable, num_experts=args.num_experts,
+        top_k=args.top_k_experts, capacity_factor=args.capacity_factor,
+        eval_capacity_factor=args.eval_capacity_factor,
+        min_capacity=args.min_capacity, moe_mode=args.moe_mode,
+        router_aux_loss_coef=args.router_aux_loss_coef)
+    seg_cfg = SegConfig(
+        enable=not args.no_seg, ce_loss_weight=args.ce_loss_weight,
+        bce_loss_weight=args.bce_loss_weight,
+        dice_loss_weight=args.dice_loss_weight,
+        focal_loss_weight=args.focal_loss_weight,
+        iou_loss_weight=args.iou_loss_weight)
+    if args.tiny:
+        import dataclasses
+        cfg = dataclasses.replace(
+            MedplibConfig.tiny(), moe=moe_cfg,
+            seg=dataclasses.replace(MedplibConfig.tiny().seg,
+                                    enable=not args.no_seg),
+            seg_token_idx=seg_idx,
+            vocab_size_padded=max(len(tokenizer) + 8, 64))
+    else:
+        cfg = MedplibConfig(
+            moe=moe_cfg, seg=seg_cfg,
+            projector=ProjectorConfig(
+                region_adapter=args.region_fea_adapter,
+                region_geo_sampler=args.region_geo_sampler),
+            seg_token_idx=seg_idx, vocab_size_padded=len(tokenizer))
 
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     params = _load_params(args, cfg, dtype)
@@ -144,7 +158,10 @@ def main(argv=None):
         dataset = LazySupervisedDataset(
             DataConfig(data_path=args.dataset_json,
                        image_folder=args.image_folder,
-                       conv_template=args.conv_template),
+                       conv_template=args.conv_template,
+                       sam_image_size=cfg.sam.image_size,
+                       clip_image_size=cfg.vision.image_size,
+                       clip_patch=cfg.vision.patch_size),
             tokenizer, train=True)
         cc = CollatorConfig(
             max_seq_len=args.model_max_length,
@@ -185,6 +202,8 @@ def _load_params(args, cfg, dtype):
     from medplib_tpu.utils.export import load_reference_checkpoint
     from medplib_tpu.utils.hf_weights import cast_tree
 
+    if args.version == "random":  # smoke/debug: random init
+        return medplib.init_medplib(jax.random.PRNGKey(0), cfg, dtype)
     if os.path.exists(os.path.join(args.version, "config.json")) or \
             any(f.endswith((".bin", ".safetensors"))
                 for f in os.listdir(args.version)):
