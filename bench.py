@@ -14,9 +14,10 @@ The north star in BASELINE.json is >=3x that per v5e chip.
 
 Default config = the production serving configuration: weight-only int8 LLM
 (utils/quantize.py, the framework's bitsandbytes-equivalent; per-channel
-scales, towers kept bf16) at batch 8 — 9.1 masks/s (3.65x). Overrides:
+scales, towers kept bf16) at batch 12 — 9.3 masks/s (3.7x). Overrides:
 BENCH_QUANT=bf16 BENCH_B=3 measures full-bf16 (6.3 masks/s, 2.53x);
-measured v5e ladder: bf16 B=2 5.2, bf16 B=3 6.3 (B=4 OOM), int8 B=8 9.1.
+measured v5e ladder: bf16 B=2 5.2, bf16 B=3 6.3 (B=4 OOM), int8 B=8 9.1,
+int8 B=12 9.3 (B=16 OOM).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -73,7 +74,7 @@ def main():
         log("quantized int8")
 
     # B=2: 7B bf16 params (~14.5G with towers) + KV cache must fit 16G HBM
-    B = int(os.environ.get("BENCH_B", "8"))
+    B = int(os.environ.get("BENCH_B", "12"))
     T_in = 48  # prompt tokens incl. <image> sentinel (splices to ~623)
     max_new = 10  # typical grounding answer: "It is <SEG>." + stop
     batch = ge._make_batch(cfg, B=B, T=T_in, rng=rng)

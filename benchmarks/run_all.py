@@ -36,13 +36,9 @@ import numpy as np
 
 
 def _timed(fn, *args, iters=5):
-    r = fn(*args)
-    _ = float(jnp.sum(jax.tree_util.tree_leaves(r)[0]))  # host fetch = sync
-    t0 = time.time()
-    for _ in range(iters):
-        r = fn(*args)
-        _ = float(jnp.sum(jax.tree_util.tree_leaves(r)[0]))
-    return (time.time() - t0) / iters
+    from medplib_tpu.utils.profiling import timed  # host-fetch-synced timing
+    dt, _ = timed(jax.jit(fn), *args, iters=iters)
+    return dt
 
 
 def _report(config, metric, value, unit):
@@ -99,8 +95,13 @@ def bench_clip(tiny: bool):
 def _vqa_batch(cfg, B, T, n_seg=0, region=False):
     import __graft_entry__ as ge
     from medplib_tpu.config import IMAGE_TOKEN_INDEX, REGION_TOKEN_INDEX
+    from medplib_tpu.models.medplib import image_tokens_per_image
     rng = np.random.default_rng(0)
     batch = ge._make_batch(cfg, B=B, T=T, rng=rng)
+    # with the 576->256 compressor, the image sentinel expands to the
+    # COMPRESSED token count (medplib.image_tokens_per_image)
+    batch = batch._replace(image_token_lengths=jnp.full_like(
+        batch.image_token_lengths, image_tokens_per_image(cfg)))
     ids = np.array(batch.input_ids)  # writable copy
     if n_seg == 0:  # plain VQA: no SEG token in the prompt
         ids[:, T - 3] = 9
@@ -133,6 +134,10 @@ def bench_region(tiny: bool):
     """Config 3: region-VQA with region adapter + 576->256 compressor."""
     from medplib_tpu.models import medplib
     cfg = _cfg(tiny, 32, token_compress=True, region_adapter=True)
+    cfg = dataclasses.replace(cfg, projector=dataclasses.replace(
+        cfg.projector,
+        compress_tokens=min(cfg.projector.compress_tokens,
+                            cfg.vision.num_patches)))
     params = _params(cfg, jnp.float32 if tiny else jnp.bfloat16)
     B, T, new = (2, 16, 4) if tiny else (2, 48, 16)
     batch = _vqa_batch(cfg, B, T, region=True)

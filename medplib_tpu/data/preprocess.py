@@ -137,10 +137,18 @@ def sub_component_augment(mask: np.ndarray, min_area: float = 0.2,
     if comp_area < min_thresh:
         return component.astype(mask.dtype), True
 
+    # bounded resample: comp_area == min_thresh can never satisfy the
+    # threshold (uniform() < 1.0 -> int() rounds below it), so clamp after a
+    # few draws instead of looping forever (the reference has the same
+    # unbounded loop, LazySupervisedDataset.py:316-319)
     target_area = 0
-    while target_area // min_thresh < 1:
+    for _ in range(8):
         ratio = rng.uniform(min_area, max_area)
         target_area = int(comp_area * ratio)
+        if target_area >= min_thresh:
+            break
+    else:
+        target_area = min(comp_area, min_thresh)
 
     sub = np.zeros_like(component)
     rows, cols = np.where(component == 1)

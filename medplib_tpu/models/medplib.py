@@ -392,10 +392,12 @@ def generate(params: Params, cfg: MedplibConfig, batch: Batch,
                                     ep_shard=ep_shard, unroll=unroll_layers)
         logits = llama.logits(params["llm"], hidden)[:, 0]
         new_tok = jnp.argmax(logits, -1)
-        # SEG emitted now -> capture the PREVIOUS position's hidden state
-        # (shifted semantics, MedPLIB.py:615-625)
+        # SEG emitted now -> capture THIS step's hidden state: the reference
+        # indexes the concatenated per-step states with the shifted mask
+        # output_ids[:, 1:] == seg_token_idx (MedPLIB.py:615-625), i.e. the
+        # state of the forward pass that predicted SEG — exactly `hidden`.
         is_seg = (new_tok == cfg.seg_token_idx) & (~seg_found) & (~done)
-        cap = text_hidden_fcs(params["text_hidden_fcs"], prev_hidden)[:, 0]
+        cap = text_hidden_fcs(params["text_hidden_fcs"], hidden)[:, 0]
         seg_emb = jnp.where(is_seg[:, None], cap, seg_emb)
         seg_found = seg_found | is_seg
 
@@ -404,9 +406,15 @@ def generate(params: Params, cfg: MedplibConfig, batch: Batch,
         return ((cache, new_tok, new_done, seg_emb, seg_found, hidden),
                 (tok, done))
 
-    init_emb = jnp.zeros((b, seg_dim), embeds.dtype)
+    # SEG as the FIRST generated token: the predicting state is the
+    # prefill's last real-token hidden (the shifted mask's prompt boundary)
+    first_seg = next_tok == cfg.seg_token_idx
+    first_cap = text_hidden_fcs(params["text_hidden_fcs"], last_hidden)[:, 0]
+    init_emb = jnp.where(first_seg[:, None],
+                         first_cap.astype(embeds.dtype),
+                         jnp.zeros((b, seg_dim), embeds.dtype))
     carry = (cache, next_tok, jnp.zeros((b,), bool), init_emb,
-             jnp.zeros((b,), bool), last_hidden)
+             first_seg, last_hidden)
     carry, (toks, dones) = jax.lax.scan(step, carry, None,
                                         length=max_new_tokens)
     _, _, _, seg_emb, seg_found, final_hidden = carry

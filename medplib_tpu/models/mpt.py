@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from medplib_tpu.ops.initializers import dense_init, embed_init
 
 Params = Dict[str, Any]
+NEG_INF = -2.3819763e38  # finite: a fully-masked row softmaxes to uniform
+                         # instead of NaN-poisoning the whole batch
 
 
 @dataclasses.dataclass(frozen=True)
@@ -162,7 +164,7 @@ def _attn_mask_bias(cfg: MptConfig, q_pos, k_pos, pad_mask, prefix_mask):
         allowed = allowed[None]
     if pad_mask is not None:
         allowed = allowed & (pad_mask[:, None, :] > 0)
-    bias = jnp.where(allowed[:, None], 0.0, -jnp.inf).astype(jnp.float32)
+    bias = jnp.where(allowed[:, None], 0.0, NEG_INF).astype(jnp.float32)
     if cfg.alibi:
         bias = bias + alibi_bias(cfg.n_heads, q_pos, k_pos,
                                  cfg.alibi_bias_max)[None]

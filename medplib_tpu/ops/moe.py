@@ -219,10 +219,19 @@ def moe_mlp(
             expert_in, P(AXIS_EXPERT, None, None))
 
     ek = moe_params["experts"]
-    h1 = jnp.einsum("ech,ehm->ecm", expert_in, ek["gate_proj"]["kernel"])
-    h2 = jnp.einsum("ech,ehm->ecm", expert_in, ek["up_proj"]["kernel"])
+
+    def _w(p):
+        # weight-only int8 support (utils/quantize.py): dequant fuses into
+        # the einsum's operand read
+        kern = p["kernel"]
+        if kern.dtype == jnp.int8:
+            return kern.astype(x.dtype) * p["scale"].astype(x.dtype)
+        return kern
+
+    h1 = jnp.einsum("ech,ehm->ecm", expert_in, _w(ek["gate_proj"]))
+    h2 = jnp.einsum("ech,ehm->ecm", expert_in, _w(ek["up_proj"]))
     act = jax.nn.silu(h1) * h2
-    out_e = jnp.einsum("ecm,emh->ech", act, ek["down_proj"]["kernel"])
+    out_e = jnp.einsum("ecm,emh->ech", act, _w(ek["down_proj"]))
     if ep_shard:
         out_e = jax.lax.with_sharding_constraint(
             out_e, P(AXIS_EXPERT, None, None))

@@ -57,11 +57,17 @@ class ModelWorker:
             max_seq_len=max_seq_len, image_tokens=cfg.vision.num_patches,
             sam_image_size=cfg.sam.image_size,
             clip_image_size=cfg.vision.image_size)
+        eos = getattr(tokenizer, "eos_token_id", 2) or 2
+        # two compiled variants: region requests need the region-feature
+        # splice (rp_flag), plain requests skip that compute
         self._gen = jax.jit(
             lambda p, b: medplib.generate(
-                p, cfg, b, max_new_tokens=max_new_tokens,
-                eos_id=getattr(tokenizer, "eos_token_id", 2) or 2,
+                p, cfg, b, max_new_tokens=max_new_tokens, eos_id=eos,
                 rp_flag=False))
+        self._gen_region = jax.jit(
+            lambda p, b: medplib.generate(
+                p, cfg, b, max_new_tokens=max_new_tokens, eos_id=eos,
+                rp_flag=True))
         if controller_url:
             self.register()
             t = threading.Thread(target=self._heartbeat_loop, daemon=True)
@@ -141,7 +147,8 @@ class ModelWorker:
                 *payload.get("region_hw", image.shape[:2]))
         sample = self.build_sample(prompt, image, region)
         arrays, meta = collate([sample], self.cc)
-        res = self._gen(self.params, to_model_batch(arrays))
+        gen = self._gen_region if region is not None else self._gen
+        res = gen(self.params, to_model_batch(arrays))
 
         out_ids = np.asarray(res.output_ids)[0]
         n = int(np.asarray(res.num_generated)[0])

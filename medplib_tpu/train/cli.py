@@ -213,6 +213,12 @@ def _load_params(args, cfg, dtype):
         full = medplib.init_medplib(jax.random.PRNGKey(0), cfg, dtype)
         for k, v in params.items():
             full[k] = v
+        for tower, flag in (("clip", "--clip-dir"),
+                            ("sam", "--vision-pretrained")):
+            if tower not in params:
+                print(f"WARNING: no {tower!r} weights in {args.version}; "
+                      f"the {tower} tower is RANDOMLY initialized — pass "
+                      f"{flag} to load real weights", flush=True)
         params = full
     else:
         params = load_params(args.version)

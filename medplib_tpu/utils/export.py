@@ -22,7 +22,7 @@ import numpy as np
 
 def merge_lora(params: Any, scale: float = 2.0) -> Any:
     from medplib_tpu.train.lora import merge
-    return merge(params)
+    return merge(params, scale=scale)
 
 
 def cast_f32(params: Any) -> Any:

@@ -1,0 +1,108 @@
+"""Regression tests for review findings: generated-<SEG> hidden-state capture
+alignment, int8 MoE expert dequantization, bounded region augmentation."""
+
+import dataclasses
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import __graft_entry__ as ge
+from medplib_tpu.config import MedplibConfig, MoeConfig
+from medplib_tpu.models import llama, medplib
+
+
+def test_generated_seg_capture_matches_full_forward():
+    """The mask decoded for a generated <SEG> must come from the hidden state
+    of the step that PREDICTED the SEG token (reference shifted-mask
+    semantics, MedPLIB.py:615-625) — checked against a full-sequence
+    forward replay."""
+    cfg = MedplibConfig.tiny()
+    params = medplib.init_medplib(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    batch = ge._make_batch(cfg, B=1, T=12, rng=rng)
+    # no planted SEG in the prompt: replace it with an ordinary token
+    ids = np.array(batch.input_ids)
+    ids[ids == cfg.seg_token_idx] = 7
+    batch = batch._replace(input_ids=jnp.asarray(ids))
+
+    res = medplib.generate(params, cfg, batch, max_new_tokens=4, eos_id=-1)
+    out = np.asarray(res.output_ids)[0]
+    # re-run with seg_token_idx = the 2nd generated token -> that emission
+    # becomes a <SEG>; it must not appear in the prompt or earlier output
+    seg_tok = int(out[1])
+    assert seg_tok not in ids and seg_tok != int(out[0])
+    cfg2 = dataclasses.replace(cfg, seg_token_idx=seg_tok)
+    res2 = medplib.generate(params, cfg2, batch, max_new_tokens=4, eos_id=-1)
+    assert bool(np.asarray(res2.has_seg)[0])
+    np.testing.assert_array_equal(np.asarray(res2.output_ids), out[None])
+
+    # replay: full forward over [spliced prompt; generated tokens 0..0] —
+    # the state at the last position predicted out[1] (the SEG)
+    embeds, _, attn_mask, _, _ = medplib.splice_batch(params, cfg2, batch,
+                                                      need_region=False)
+    gen_emb = llama.embed(params["llm"], jnp.asarray(out[:1])[None])
+    full = jnp.concatenate([embeds, gen_emb], axis=1)
+    mask = jnp.concatenate(
+        [attn_mask, jnp.ones((1, 1), attn_mask.dtype)], axis=1)
+    hidden, _, _ = medplib._llm_forward(params, cfg2, full, mask, train=False)
+    last = jnp.sum(attn_mask, -1)  # prompt real length; gen tok appended at end
+    # position of the appended generated token = full length - 1
+    pred_state = hidden[:, -1:]
+    seg_emb = medplib.text_hidden_fcs(params["text_hidden_fcs"], pred_state)
+
+    from medplib_tpu.models import sam_med2d
+    sam_emb = sam_med2d.encode_image(params["sam"]["image_encoder"],
+                                     batch.images_sam, cfg2.sam)
+    want, _ = medplib.decode_seg_masks(params, cfg2, sam_emb, seg_emb,
+                                       cfg2.sam.image_size)
+    np.testing.assert_allclose(np.asarray(res2.pred_masks),
+                               np.asarray(want[:, 0]), atol=2e-3)
+
+
+def test_first_generated_token_seg_captured():
+    """A SEG emitted as the FIRST generated token uses the prefill's last
+    hidden state (not the fallback)."""
+    cfg = MedplibConfig.tiny()
+    params = medplib.init_medplib(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    batch = ge._make_batch(cfg, B=1, T=12, rng=rng)
+    ids = np.array(batch.input_ids)
+    ids[ids == cfg.seg_token_idx] = 7
+    batch = batch._replace(input_ids=jnp.asarray(ids))
+    res = medplib.generate(params, cfg, batch, max_new_tokens=3, eos_id=-1)
+    first = int(np.asarray(res.output_ids)[0, 0])
+    cfg2 = dataclasses.replace(cfg, seg_token_idx=first)
+    res2 = medplib.generate(params, cfg2, batch, max_new_tokens=3, eos_id=-1)
+    assert bool(np.asarray(res2.has_seg)[0])
+
+
+def test_int8_moe_experts_dequantized():
+    """quantize_tree on a MoE model must keep logits close to full precision
+    (expert kernels carry scales through ops/moe.moe_mlp)."""
+    from medplib_tpu.utils import quantize as qz
+    cfg = dataclasses.replace(
+        MedplibConfig.tiny(),
+        moe=MoeConfig(enable=True, num_experts=2, top_k=1,
+                      capacity_factor=4.0, eval_capacity_factor=4.0,
+                      moe_mode="dense"))
+    params = medplib.init_medplib(jax.random.PRNGKey(0), cfg)
+    batch = ge._make_batch(cfg, B=2, T=12, rng=np.random.default_rng(0))
+    base = medplib.model_forward(params, cfg, batch, train=False)
+    qparams = qz.quantize_tree(params)
+    # experts actually got quantized
+    assert qparams["llm"]["layers"]["moe"]["experts"]["gate_proj"][
+        "kernel"].dtype == jnp.int8
+    quant = medplib.model_forward(qparams, cfg, batch, train=False)
+    ratio = float(quant["ce_loss"]) / max(float(base["ce_loss"]), 1e-6)
+    assert 0.8 < ratio < 1.25, (float(base["ce_loss"]),
+                                float(quant["ce_loss"]))
+
+
+def test_sub_component_augment_terminates_at_min_thresh():
+    from medplib_tpu.data.preprocess import sub_component_augment
+    mask = np.zeros((24, 24), np.uint8)
+    mask[0, :10] = 1  # largest component area == min_thresh exactly
+    out, ok = sub_component_augment(mask, rng=random.Random(0))
+    assert ok and out.sum() > 0
