@@ -35,6 +35,10 @@ def build_argparser():
     ap.add_argument("--vis-save-path", default="./vis_output")
     ap.add_argument("--max-new-tokens", type=int, default=512)
     ap.add_argument("--sam-img-size", type=int, default=256)
+    # debug (the reference's --cpu_only analog)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model config for CPU smoke/debug; "
+                         "--checkpoint random initializes random params")
     return ap
 
 
@@ -58,23 +62,33 @@ def main(argv=None):
     tk.add_special_tokens(tokenizer)
     seg_idx = tokenizer.convert_tokens_to_ids("<SEG>")
 
-    cfg = MedplibConfig(
-        moe=MoeConfig(enable=args.moe, num_experts=2, top_k=1,
-                      capacity_factor=1.5, eval_capacity_factor=2.0,
-                      moe_mode="dense"),
-        seg_token_idx=seg_idx,
-        vocab_size_padded=len(tokenizer))
-    params = load_params(args.checkpoint)
+    moe_cfg = MoeConfig(enable=args.moe, num_experts=2, top_k=1,
+                        capacity_factor=1.5, eval_capacity_factor=2.0,
+                        moe_mode="dense")
+    if args.tiny:
+        import dataclasses
+        cfg = dataclasses.replace(
+            MedplibConfig.tiny(), moe=moe_cfg, seg_token_idx=seg_idx,
+            vocab_size_padded=max(len(tokenizer) + 8, 64))
+    else:
+        cfg = MedplibConfig(moe=moe_cfg, seg_token_idx=seg_idx,
+                            vocab_size_padded=len(tokenizer))
+    if args.checkpoint == "random":
+        params = medplib.init_medplib(jax.random.PRNGKey(0), cfg)
+    else:
+        params = load_params(args.checkpoint)
     if args.precision == "bf16":
         params = cast_tree(params, jnp.bfloat16)
 
     cc = CollatorConfig(max_seq_len=512,
-                        image_tokens=cfg.vision.num_patches,
+                        image_tokens=(cfg.vision.num_patches
+                                      if not cfg.projector.token_compress
+                                      else cfg.projector.compress_tokens),
                         sam_image_size=cfg.sam.image_size,
                         clip_image_size=cfg.vision.image_size)
     gen = jax.jit(lambda p, b: medplib.generate(
         p, cfg, b, max_new_tokens=args.max_new_tokens,
-        eos_id=tokenizer.eos_token_id, unroll_layers=True))
+        eos_id=tokenizer.eos_token_id or 2, unroll_layers=not args.tiny))
 
     os.makedirs(args.vis_save_path, exist_ok=True)
     conv_template = conv_templates[args.conv_type]

@@ -13,6 +13,7 @@ class FakeHFTok:
     """Just enough of the HF tokenizer surface for the CLIs."""
 
     bos_token_id = 1
+    eos_token_id = 2
     pad_token_id = 0
     pad_token = "<pad>"
     unk_token = "<unk>"
@@ -125,3 +126,26 @@ def test_eval_cli_seg_mode(fake_tokenizer, tiny_dataset, tmp_path):
     rows = [json.loads(l) for l in open(answers)]
     assert len(rows) == 2
     assert os.path.exists(metrics)
+
+
+def test_chat_cli_one_turn(fake_tokenizer, tiny_dataset, tmp_path,
+                           monkeypatch):
+    from medplib_tpu import chat
+    _, folder = tiny_dataset
+    img = os.path.join(folder, "im0.jpg")
+    answers = iter(["Segment the lesion please", img])
+
+    def fake_input(_prompt=""):
+        try:
+            return next(answers)
+        except StopIteration:
+            raise EOFError
+
+    monkeypatch.setattr("builtins.input", fake_input)
+    vis = str(tmp_path / "vis")
+    chat.main(["--checkpoint", "random", "--tokenizer", "fake", "--tiny",
+               "--max-new-tokens", "4", "--precision", "fp32",
+               "--vis-save-path", vis])
+    # one REPL turn completed; with random weights a <SEG> may or may not be
+    # emitted — the vis dir must exist, and if has_seg fired, overlays exist
+    assert os.path.isdir(vis)
