@@ -1,4 +1,4 @@
-"""Benchmark harness for the 5 BASELINE.json configs.
+"""Benchmark harness for the 5 BASELINE.json configs (+ training extra).
 
 Usage:
     python benchmarks/run_all.py                 # all configs, flagship scale
@@ -16,6 +16,7 @@ Configs (BASELINE.json):
  4. Pixel grounding: <SEG> -> SAM-Med2D mask decode (eval_seg) — the
     flagship; the repo-root bench.py reports this one vs the H100 baseline
  5. MedPLIB-ICL: MoE 7B with in-context (image, mask) examples
+ 6. (extra) training-step throughput, stage-3-style seg SFT
 """
 
 from __future__ import annotations
@@ -202,8 +203,32 @@ def bench_icl(tiny: bool):
     _report(5, "icl_moe_latency", dt * 1e3 / B, "ms/sample")
 
 
+def bench_train(tiny: bool):
+    """Config 6 (extra): training-step throughput (tok/s) — full-width model
+    at reduced depth so params+grads fit one chip; stage-3-style seg SFT
+    shapes."""
+    from medplib_tpu.models import medplib
+    cfg = _cfg(tiny, 8)
+    dtype = jnp.float32 if tiny else jnp.bfloat16
+    params = _params(cfg, dtype)
+    B, T = (2, 16) if tiny else (2, 48)
+    import __graft_entry__ as ge
+    batch = ge._make_batch(cfg, B=B, T=T, rng=np.random.default_rng(0))
+
+    def train_step(p, b):
+        def loss_fn(q):
+            return medplib.model_forward(q, cfg, b, train=True,
+                                         remat=True)["loss"]
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        return jax.tree_util.tree_map(lambda w, g: w - 1e-6 * g, p, grads)
+
+    dt = _timed(train_step, params, batch, iters=3)
+    toks = B * (T - 1 + cfg.vision.num_patches)
+    _report(6, "train_step_throughput", toks / dt, "tok/s")
+
+
 BENCHES = {1: bench_clip, 2: bench_vqa, 3: bench_region, 4: bench_seg,
-           5: bench_icl}
+           5: bench_icl, 6: bench_train}
 
 
 def main(argv=None):
