@@ -141,3 +141,57 @@ def test_sparse_mask_roundtrip():
     coords, h, w = protocol.encode_sparse_mask(m)
     m2 = protocol.decode_sparse_mask(coords, h, w)
     np.testing.assert_array_equal(m, m2)
+
+
+def test_web_ui_serves_page_and_proxies(tmp_path):
+    """Web UI: GET / returns the sketch page; POST /generate proxies through
+    the controller to a (fake) worker."""
+    import http.server
+    import json as jsonlib
+    import threading
+    import urllib.request
+
+    from medplib_tpu.serve import web
+    from medplib_tpu.serve.controller import Controller, make_handler
+
+    # fake worker endpoint
+    class FakeWorker(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            _ = self.rfile.read(n)
+            body = jsonlib.dumps({"text": "a lesion", "mask": []}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    wsrv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), FakeWorker)
+    threading.Thread(target=wsrv.serve_forever, daemon=True).start()
+    waddr = f"http://127.0.0.1:{wsrv.server_address[1]}"
+
+    ctrl = Controller()
+    csrv = http.server.ThreadingHTTPServer(("127.0.0.1", 0),
+                                           make_handler(ctrl))
+    threading.Thread(target=csrv.serve_forever, daemon=True).start()
+    curl = f"http://127.0.0.1:{csrv.server_address[1]}"
+    ctrl.register_worker(waddr, False, {"model_names": ["medplib-tpu"],
+                                        "speed": 1, "queue_length": 0})
+
+    ui = web.serve(curl, host="127.0.0.1", port=0)
+    threading.Thread(target=ui.serve_forever, daemon=True).start()
+    uurl = f"http://127.0.0.1:{ui.server_address[1]}"
+
+    page = urllib.request.urlopen(uurl + "/", timeout=5).read().decode()
+    assert "<html" in page.lower() and "canvas" in page.lower()
+
+    req = urllib.request.Request(
+        uurl + "/generate",
+        data=jsonlib.dumps({"prompt": "hi", "model": "medplib-tpu"}).encode(),
+        headers={"Content-Type": "application/json"})
+    out = urllib.request.urlopen(req, timeout=10).read()
+    assert b"lesion" in out
+    for s in (ui, csrv, wsrv):
+        s.shutdown()
