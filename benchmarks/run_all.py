@@ -166,7 +166,7 @@ def bench_icl(tiny: bool):
     """Config 5: MoE + 2 in-context (image, mask) example pairs."""
     from medplib_tpu.config import IMAGE_TOKEN_INDEX, MoeConfig
     from medplib_tpu.models import medplib
-    cfg = _cfg(tiny, 16 if not tiny else 2)  # MoE doubles FFN weights: fit HBM
+    cfg = _cfg(tiny, 12 if not tiny else 2)  # MoE doubles FFN weights: fit HBM
     cfg = dataclasses.replace(
         cfg, icl_enable=True,
         moe=MoeConfig(enable=True, num_experts=2, top_k=1,
