@@ -64,6 +64,15 @@ def main():
     jax.block_until_ready(params)
     log("init done")
 
+    # NOTE: packing is OFF by default here: XLA materializes full bf16
+    # dequant copies of the wide packed kernels when combined with int8
+    # (OOM at 7B); pack_inference is for bf16 serving configs instead
+    if os.environ.get("BENCH_PACK", "0") == "1":
+        # fuse q/k/v and gate/up kernels: one wide matmul per pair
+        from medplib_tpu.models import llama
+        params["llm"] = llama.pack_inference(params["llm"])
+        log("packed qkv/gateup")
+
     if os.environ.get("BENCH_QUANT", "int8") == "int8":
         # weight-only int8 serving config (utils/quantize.py, the
         # bitsandbytes-equivalent path): halves LLM HBM -> bigger batch +

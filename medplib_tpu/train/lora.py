@@ -91,7 +91,7 @@ def linear_t(p: Params, x: jnp.ndarray, scale: float = 2.0) -> jnp.ndarray:
 
 
 # kernels stored [out, in] instead of [in, out]
-TRANSPOSED_KERNELS = ("q_proj", "k_proj", "v_proj")
+TRANSPOSED_KERNELS = ("q_proj", "k_proj", "v_proj", "qkv_proj")
 
 
 def merge(params: Params, scale: float = 2.0) -> Params:

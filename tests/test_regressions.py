@@ -106,3 +106,28 @@ def test_sub_component_augment_terminates_at_min_thresh():
     mask[0, :10] = 1  # largest component area == min_thresh exactly
     out, ok = sub_component_augment(mask, rng=random.Random(0))
     assert ok and out.sum() > 0
+
+
+def test_pack_inference_preserves_outputs():
+    """Packed qkv/gateup kernels produce identical generate outputs."""
+    from medplib_tpu.models import llama
+    cfg = MedplibConfig.tiny()
+    params = medplib.init_medplib(jax.random.PRNGKey(0), cfg)
+    batch = ge._make_batch(cfg, B=2, T=12, rng=np.random.default_rng(0))
+    base = medplib.generate(params, cfg, batch, max_new_tokens=4)
+    packed = dict(params)
+    packed["llm"] = llama.pack_inference(params["llm"])
+    assert "qkv_proj" in packed["llm"]["layers"]["attn"]
+    assert "gateup_proj" in packed["llm"]["layers"]["mlp"]
+    got = medplib.generate(packed, cfg, batch, max_new_tokens=4)
+    np.testing.assert_array_equal(np.asarray(base.output_ids),
+                                  np.asarray(got.output_ids))
+    np.testing.assert_allclose(np.asarray(base.pred_masks),
+                               np.asarray(got.pred_masks), atol=2e-3)
+
+    # quantize composes with packing (out_axis via TRANSPOSED_KERNELS)
+    from medplib_tpu.utils import quantize as qz
+    qp = qz.quantize_tree(packed)
+    assert qp["llm"]["layers"]["attn"]["qkv_proj"]["kernel"].dtype == jnp.int8
+    res = medplib.generate(qp, cfg, batch, max_new_tokens=4)
+    assert bool(jnp.all(jnp.isfinite(res.pred_masks)))
