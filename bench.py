@@ -73,7 +73,8 @@ def main():
         params["llm"] = llama.pack_inference(params["llm"])
         log("packed qkv/gateup")
 
-    if os.environ.get("BENCH_QUANT", "int8") == "int8":
+    use_int8 = os.environ.get("BENCH_QUANT", "int8") == "int8"
+    if use_int8:
         # weight-only int8 serving config (utils/quantize.py, the
         # bitsandbytes-equivalent path): halves LLM HBM -> bigger batch +
         # ~2x faster weight-bound decode
@@ -82,8 +83,9 @@ def main():
         jax.block_until_ready(params)
         log("quantized int8")
 
-    # B=2: 7B bf16 params (~14.5G with towers) + KV cache must fit 16G HBM
-    B = int(os.environ.get("BENCH_B", "12"))
+    # default batch tracks the precision: int8 fits B=12, bf16 tops out at 3
+    # (7B params + KV cache in 16G HBM, see docstring ladder)
+    B = int(os.environ.get("BENCH_B", "12" if use_int8 else "3"))
     T_in = 48  # prompt tokens incl. <image> sentinel (splices to ~623)
     max_new = 10  # typical grounding answer: "It is <SEG>." + stop
     batch = ge._make_batch(cfg, B=B, T=T_in, rng=rng)

@@ -37,8 +37,9 @@ import numpy as np
 
 
 def _timed(fn, *args, iters=5):
-    from medplib_tpu.utils.profiling import timed  # host-fetch-synced timing
-    dt, _ = timed(jax.jit(fn), *args, iters=iters)
+    """fn must already be jitted. Host-fetch-synced timing."""
+    from medplib_tpu.utils.profiling import timed
+    dt, _ = timed(fn, *args, iters=iters)
     return dt
 
 
@@ -95,7 +96,7 @@ def bench_clip(tiny: bool):
 
 def _vqa_batch(cfg, B, T, n_seg=0, region=False):
     import __graft_entry__ as ge
-    from medplib_tpu.config import IMAGE_TOKEN_INDEX, REGION_TOKEN_INDEX
+    from medplib_tpu.config import REGION_TOKEN_INDEX
     from medplib_tpu.models.medplib import image_tokens_per_image
     rng = np.random.default_rng(0)
     batch = ge._make_batch(cfg, B=B, T=T, rng=rng)
@@ -243,9 +244,10 @@ def main(argv=None):
     else:
         # persistent compile cache only for the (slow) TPU programs — mixing
         # CPU AOT entries in triggers cross-machine feature warnings
-        os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/repo/.jax_cache")
+        cache = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     for c in args.configs:
         BENCHES[c](args.tiny)

@@ -81,9 +81,7 @@ def main(argv=None):
         params = cast_tree(params, jnp.bfloat16)
 
     cc = CollatorConfig(max_seq_len=512,
-                        image_tokens=(cfg.vision.num_patches
-                                      if not cfg.projector.token_compress
-                                      else cfg.projector.compress_tokens),
+                        image_tokens=medplib.image_tokens_per_image(cfg),
                         sam_image_size=cfg.sam.image_size,
                         clip_image_size=cfg.vision.image_size)
     gen = jax.jit(lambda p, b: medplib.generate(

@@ -334,8 +334,9 @@ def pack_inference(llm_params: Params) -> Params:
         attn["qkv_proj"] = {"kernel": _packed_concat(kq, kk, kv,
                                                      kq.ndim - 2)}
     mlp = p["layers"].get("mlp")
-    if mlp is not None and "gate_proj" in mlp and \
-            "lora_a" not in mlp["gate_proj"] and "lora_a" not in mlp["up_proj"]:
+    if mlp is not None and "gate_proj" in mlp:
+        if "lora_a" in mlp["gate_proj"] or "lora_a" in mlp["up_proj"]:
+            raise ValueError("merge LoRA before pack_inference")
         kg = mlp.pop("gate_proj")["kernel"]
         ku = mlp.pop("up_proj")["kernel"]
         mlp["gateup_proj"] = {"kernel": _packed_concat2(kg, ku,

@@ -219,19 +219,15 @@ def moe_mlp(
             expert_in, P(AXIS_EXPERT, None, None))
 
     ek = moe_params["experts"]
+    from medplib_tpu.train.lora import dequant_kernel
 
-    def _w(p):
-        # weight-only int8 support (utils/quantize.py): dequant fuses into
-        # the einsum's operand read
-        kern = p["kernel"]
-        if kern.dtype == jnp.int8:
-            return kern.astype(x.dtype) * p["scale"].astype(x.dtype)
-        return kern
-
-    h1 = jnp.einsum("ech,ehm->ecm", expert_in, _w(ek["gate_proj"]))
-    h2 = jnp.einsum("ech,ehm->ecm", expert_in, _w(ek["up_proj"]))
+    h1 = jnp.einsum("ech,ehm->ecm", expert_in,
+                    dequant_kernel(ek["gate_proj"], x.dtype))
+    h2 = jnp.einsum("ech,ehm->ecm", expert_in,
+                    dequant_kernel(ek["up_proj"], x.dtype))
     act = jax.nn.silu(h1) * h2
-    out_e = jnp.einsum("ecm,emh->ech", act, _w(ek["down_proj"]))
+    out_e = jnp.einsum("ecm,emh->ech", act,
+                       dequant_kernel(ek["down_proj"], x.dtype))
     if ep_shard:
         out_e = jax.lax.with_sharding_constraint(
             out_e, P(AXIS_EXPERT, None, None))

@@ -171,8 +171,8 @@ def flash_attention(
 ) -> jnp.ndarray:
     assert causal, "only causal supported"
     if attn_mask is None:
-        return _flash_forward(q, k, v, None,
-                              min(block_sizes[0], max(q.shape[1], 8)),
-                              min(block_sizes[1], k.shape[1]))
+        # all-ones mask keeps the custom_vjp (and thus differentiability)
+        # on the mask-less path; per-block mask loads are negligible
+        attn_mask = jnp.ones((q.shape[0], k.shape[1]), jnp.int32)
     return _flash_vjp(q, k, v, attn_mask.astype(jnp.int32), causal,
                       block_sizes)

@@ -53,8 +53,10 @@ class ModelWorker:
         self.queue_length = 0
         self.stream_interval = stream_interval
         self.conv = conv_templates[conv_template]
+        from medplib_tpu.models.medplib import image_tokens_per_image
         self.cc = CollatorConfig(
-            max_seq_len=max_seq_len, image_tokens=cfg.vision.num_patches,
+            max_seq_len=max_seq_len,
+            image_tokens=image_tokens_per_image(cfg),
             sam_image_size=cfg.sam.image_size,
             clip_image_size=cfg.vision.image_size)
         eos = getattr(tokenizer, "eos_token_id", 2) or 2

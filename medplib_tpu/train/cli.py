@@ -117,10 +117,11 @@ def main(argv=None):
         iou_loss_weight=args.iou_loss_weight)
     if args.tiny:
         import dataclasses
+        tiny = MedplibConfig.tiny()
+        # keep tiny's dimensions (out_dim) but the user's loss weights
         cfg = dataclasses.replace(
-            MedplibConfig.tiny(), moe=moe_cfg,
-            seg=dataclasses.replace(MedplibConfig.tiny().seg,
-                                    enable=not args.no_seg),
+            tiny, moe=moe_cfg,
+            seg=dataclasses.replace(seg_cfg, out_dim=tiny.seg.out_dim),
             seg_token_idx=seg_idx,
             vocab_size_padded=max(len(tokenizer) + 8, 64))
     else:

@@ -61,12 +61,19 @@ def inject(key, params: Params, target_modules: Sequence[str], r: int,
     return params
 
 
+def dequant_kernel(p: Params, dtype) -> jnp.ndarray:
+    """Weight-only int8 support: {kernel int8, scale} -> dtype kernel.
+    Single home for the dequant pattern (used by linear/linear_t here and
+    ops/moe.moe_mlp); the multiply fuses into the consuming matmul."""
+    kern = p["kernel"]
+    if kern.dtype == jnp.int8:
+        return kern.astype(dtype) * p["scale"].astype(dtype)
+    return kern
+
+
 def linear(p: Params, x: jnp.ndarray, scale: float = 2.0) -> jnp.ndarray:
     """x @ kernel with optional LoRA path. `scale` = alpha / r."""
-    if p["kernel"].dtype == jnp.int8:
-        y = x @ (p["kernel"].astype(x.dtype) * p["scale"].astype(x.dtype))
-    else:
-        y = x @ p["kernel"]
+    y = x @ dequant_kernel(p, x.dtype)
     if "lora_a" in p:
         y = y + ((x @ p["lora_a"]) @ p["lora_b"]) * scale
     if "bias" in p:
@@ -78,11 +85,7 @@ def linear_t(p: Params, x: jnp.ndarray, scale: float = 2.0) -> jnp.ndarray:
     """Linear with a TRANSPOSED kernel [out, in] (attention q/k/v storage,
     see models/llama.py init_layer). LoRA adapters keep their usual
     [in, r]/[r, out] shapes."""
-    if p["kernel"].dtype == jnp.int8:
-        w = p["kernel"].astype(x.dtype) * p["scale"].astype(x.dtype)
-    else:
-        w = p["kernel"]
-    y = jnp.einsum("...i,oi->...o", x, w)
+    y = jnp.einsum("...i,oi->...o", x, dequant_kernel(p, x.dtype))
     if "lora_a" in p:
         y = y + ((x @ p["lora_a"]) @ p["lora_b"]) * scale
     if "bias" in p:

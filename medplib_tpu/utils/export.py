@@ -145,6 +145,49 @@ def load_reference_checkpoint(
     return cfg, params
 
 
+def make_delta(base: Any, target: Any) -> Any:
+    """target - base per shared leaf; target-only leaves (e.g. the projector)
+    pass through verbatim (model/medplib/model/make_delta.py semantics)."""
+    import jax
+
+    def rec(t, b):
+        if isinstance(t, dict):
+            return {k: (rec(v, b[k]) if isinstance(b, dict) and k in b else v)
+                    for k, v in t.items()}
+        if b is None or not hasattr(t, "shape"):
+            return t
+        if getattr(b, "shape", None) != t.shape:
+            return t  # resized vocab rows etc. pass through
+        d = np.asarray(t, np.float32) - np.asarray(b, np.float32)
+        return d.astype(np.asarray(t).dtype)  # keep the checkpoint dtype
+
+    return rec(target, base)
+
+
+def apply_delta(base: Any, delta: Any) -> Any:
+    """base + delta; delta-only leaves pass through
+    (model/medplib/model/apply_delta.py semantics, incl. the projector
+    allowlist behavior generalized to any new leaf)."""
+    def rec(d, b):
+        if isinstance(d, dict):
+            return {k: (rec(v, b[k]) if isinstance(b, dict) and k in b else v)
+                    for k, v in d.items()}
+        if b is None or not hasattr(d, "shape") or \
+                getattr(b, "shape", None) != getattr(d, "shape", None):
+            return d
+        out = np.asarray(b, np.float32) + np.asarray(d, np.float32)
+        return out.astype(np.asarray(d).dtype)
+
+    return rec(delta, base)
+
+
+def consolidate(src_path: str, dst_path: str) -> None:
+    """Round-trip a checkpoint through load+save so sharded/partial state
+    becomes one consolidated artifact (model/medplib/model/consolidate.py)."""
+    from medplib_tpu.utils.checkpoint import load_params, save_params
+    save_params(dst_path, load_params(src_path))
+
+
 def export_seg_decoder(params: Any, cfg, batch_size: int = 1,
                        num_segs: int = 1,
                        platforms=("tpu", "cpu")) -> bytes:

@@ -35,3 +35,28 @@ def test_export_roundtrip_matches_direct_call():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(iou), np.asarray(ref_iou),
                                atol=1e-5)
+
+
+def test_delta_roundtrip_and_consolidate(tmp_path):
+    from medplib_tpu.utils.export import apply_delta, consolidate, make_delta
+    base = {"a": {"kernel": np.ones((4, 4), np.float32)},
+            "b": {"kernel": np.full((2, 2), 3.0, np.float32)}}
+    target = {"a": {"kernel": np.full((4, 4), 2.5, np.float32)},
+              "b": {"kernel": np.full((2, 2), 3.0, np.float32)},
+              "mm_projector": {"kernel": np.eye(2, dtype=np.float32)}}
+    delta = make_delta(base, target)
+    np.testing.assert_allclose(delta["a"]["kernel"], 1.5)
+    np.testing.assert_allclose(delta["mm_projector"]["kernel"], np.eye(2))
+    back = apply_delta(base, delta)
+    np.testing.assert_allclose(back["a"]["kernel"],
+                               target["a"]["kernel"])
+    np.testing.assert_allclose(back["mm_projector"]["kernel"], np.eye(2))
+
+    from medplib_tpu.utils.checkpoint import load_params, save_params
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    save_params(src, base)
+    consolidate(src, dst)
+    out = load_params(dst)
+    np.testing.assert_allclose(np.asarray(out["a"]["kernel"]),
+                               base["a"]["kernel"])
