@@ -28,11 +28,12 @@ DEFAULT_IM_END_TOKEN = "<im_end>"
 
 # Tokens appended to the tokenizer vocabulary by the reference trainer, in
 # order (train_ds_medplib.py:207-216): <SEG>, <ref>, </ref>, <region>,
-# </region>, <sr>, </sr>, <mask>, </mask>, then 256 generation tokens.
+# </region>, <sr>, </sr>, <mask>, </mask>, then generation tokens
+# <gen_1>..<gen_256> (1-based, range(1, 257) in the reference).
 EXTRA_TOKENS = (
     "<SEG>", "<ref>", "</ref>", "<region>", "</region>",
     "<sr>", "</sr>", "<mask>", "</mask>",
-) + tuple(f"<gen_{i}>" for i in range(256))
+) + tuple(f"<gen_{i}>" for i in range(1, 257))
 
 
 def _frozen_tuple(x):

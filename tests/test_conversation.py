@@ -58,3 +58,13 @@ def test_plain_single_turn_parity(ref):
     for c in (ours, theirs):
         c.append_message(c.roles[0], "<image>caption this")
     assert ours.get_prompt() == theirs.get_prompt()
+
+
+def test_extra_tokens_match_reference_surgery():
+    """Token list parity with train_ds_medplib.py:207-216: 9 task tokens then
+    <gen_1>..<gen_256> (1-based)."""
+    from medplib_tpu.config import EXTRA_TOKENS
+    ref = ["<SEG>", "<ref>", "</ref>", "<region>", "</region>",
+           "<sr>", "</sr>", "<mask>", "</mask>"]
+    ref += [f"<gen_{i}>" for i in range(1, 257)]
+    assert list(EXTRA_TOKENS) == ref
