@@ -433,3 +433,89 @@ def generate(params: Params, cfg: MedplibConfig, batch: Batch,
                                 out_size or cfg.sam.image_size)
     return GenerateResult(output_ids=output_ids, num_generated=num_generated,
                           pred_masks=masks[:, 0], has_seg=has_seg)
+
+
+# ---------------------------------------------------------------------------
+# streaming generation (serving): prefill once, decode in jitted chunks so
+# text can stream to the client mid-generation (the reference worker's
+# token-by-token loop, model_worker.py:393-427, amortized over chunks)
+# ---------------------------------------------------------------------------
+
+class StreamState(NamedTuple):
+    cache: Any                # llama.KVCache
+    tok: jnp.ndarray          # [B] next input token
+    done: jnp.ndarray         # [B] bool
+    seg_emb: jnp.ndarray      # [B, out_dim]
+    seg_found: jnp.ndarray    # [B] bool
+
+
+def stream_prefill(params: Params, cfg: MedplibConfig, batch: Batch,
+                   max_new_tokens: int, rp_flag: bool = False) -> StreamState:
+    """Splice + prefill; returns the carry for stream_decode_chunk. SEG
+    capture semantics match generate() (this step's hidden; prompt SEG and
+    first-generated-token SEG included)."""
+    b = batch.input_ids.shape[0]
+    embeds, _, attn_mask, seg_mask_prompt, _ = splice_batch(
+        params, cfg, batch, need_region=rp_flag)
+    cache = llama.KVCache.init(cfg.llm, b, embeds.shape[1] + max_new_tokens,
+                               dtype=embeds.dtype)
+    hidden, cache, _ = _llm_forward(params, cfg, embeds, attn_mask,
+                                    cache=cache, train=False)
+    last_idx = jnp.maximum(jnp.sum(attn_mask, -1) - 1, 0)
+    last_hidden = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)
+    next_tok = jnp.argmax(llama.logits(params["llm"], last_hidden)[:, 0], -1)
+
+    proj_prompt = text_hidden_fcs(params["text_hidden_fcs"], hidden)
+    p_emb, p_valid, _ = splice_ops.gather_seg_embeddings(
+        proj_prompt, seg_mask_prompt, 1)
+
+    first_seg = next_tok == cfg.seg_token_idx
+    first_cap = text_hidden_fcs(params["text_hidden_fcs"], last_hidden)[:, 0]
+    seg_emb = jnp.where(p_valid[:, :1], p_emb[:, 0],
+                        jnp.where(first_seg[:, None],
+                                  first_cap.astype(embeds.dtype),
+                                  jnp.zeros((b, cfg.seg.out_dim),
+                                            embeds.dtype)))
+    seg_found = p_valid[:, 0] | first_seg
+    return StreamState(cache=cache, tok=next_tok,
+                       done=jnp.zeros((b,), bool), seg_emb=seg_emb,
+                       seg_found=seg_found)
+
+
+def stream_decode_chunk(params: Params, cfg: MedplibConfig,
+                        state: StreamState, chunk: int,
+                        eos_id: int = 2):
+    """Decode `chunk` greedy tokens from the carried state.
+    -> (new state, tokens [B, chunk], done-before-step [B, chunk])."""
+    def step(carry, _):
+        cache, tok, done, seg_emb, seg_found = carry
+        emb = llama.embed(params["llm"], tok[:, None])
+        hidden, cache = _llm_decode(params, cfg, emb, cache)
+        logits = llama.logits(params["llm"], hidden)[:, 0]
+        new_tok = jnp.argmax(logits, -1)
+        is_seg = (new_tok == cfg.seg_token_idx) & (~seg_found) & (~done)
+        cap = text_hidden_fcs(params["text_hidden_fcs"], hidden)[:, 0]
+        seg_emb = jnp.where(is_seg[:, None], cap.astype(seg_emb.dtype),
+                            seg_emb)
+        seg_found = seg_found | is_seg
+        new_tok = jnp.where(done, 0, new_tok)
+        new_done = done | (new_tok == eos_id)
+        return (cache, new_tok, new_done, seg_emb, seg_found), (tok, done)
+
+    carry = (state.cache, state.tok, state.done, state.seg_emb,
+             state.seg_found)
+    carry, (toks, dones) = jax.lax.scan(step, carry, None, length=chunk)
+    new_state = StreamState(*carry)
+    return new_state, jnp.moveaxis(toks, 0, 1), jnp.moveaxis(dones, 0, 1)
+
+
+def stream_ground(params: Params, cfg: MedplibConfig, batch: Batch,
+                  state: StreamState,
+                  out_size: Optional[int] = None):
+    """Final grounding for a finished stream: SAM encode + mask decode from
+    the captured SEG embedding. -> (mask logits [B, out, out], has_seg [B])."""
+    sam_emb = sam_med2d.encode_image(params["sam"]["image_encoder"],
+                                     batch.images_sam, cfg.sam)
+    masks, _ = decode_seg_masks(params, cfg, sam_emb, state.seg_emb[:, None],
+                                out_size or cfg.sam.image_size)
+    return masks[:, 0], state.seg_found

@@ -60,16 +60,22 @@ class ModelWorker:
             sam_image_size=cfg.sam.image_size,
             clip_image_size=cfg.vision.image_size)
         eos = getattr(tokenizer, "eos_token_id", 2) or 2
-        # two compiled variants: region requests need the region-feature
-        # splice (rp_flag), plain requests skip that compute
-        self._gen = jax.jit(
-            lambda p, b: medplib.generate(
-                p, cfg, b, max_new_tokens=max_new_tokens, eos_id=eos,
-                rp_flag=False))
-        self._gen_region = jax.jit(
-            lambda p, b: medplib.generate(
-                p, cfg, b, max_new_tokens=max_new_tokens, eos_id=eos,
-                rp_flag=True))
+        self.max_new_tokens = max_new_tokens
+        # TRUE streaming: prefill once, then decode in stream_interval-sized
+        # jitted chunks, emitting text between chunks (the reference worker's
+        # per-token loop, model_worker.py:393-427, amortized per chunk).
+        # Two prefill variants: region requests need the region splice.
+        self._prefill = jax.jit(
+            lambda p, b: medplib.stream_prefill(
+                p, cfg, b, max_new_tokens=max_new_tokens, rp_flag=False))
+        self._prefill_region = jax.jit(
+            lambda p, b: medplib.stream_prefill(
+                p, cfg, b, max_new_tokens=max_new_tokens, rp_flag=True))
+        self._chunk = jax.jit(
+            lambda p, st: medplib.stream_decode_chunk(
+                p, cfg, st, chunk=stream_interval, eos_id=eos))
+        self._ground = jax.jit(
+            lambda p, b, st: medplib.stream_ground(p, cfg, b, st))
         if controller_url:
             self.register()
             t = threading.Thread(target=self._heartbeat_loop, daemon=True)
@@ -149,27 +155,35 @@ class ModelWorker:
                 *payload.get("region_hw", image.shape[:2]))
         sample = self.build_sample(prompt, image, region)
         arrays, meta = collate([sample], self.cc)
-        gen = self._gen_region if region is not None else self._gen
-        res = gen(self.params, to_model_batch(arrays))
+        batch = to_model_batch(arrays)
+        prefill = (self._prefill_region if region is not None
+                   else self._prefill)
+        state = prefill(self.params, batch)
 
-        out_ids = np.asarray(res.output_ids)[0]
-        n = int(np.asarray(res.num_generated)[0])
-        toks = [int(t) for t in out_ids[:n] if t > 0]
-        # stream text in stream_interval batches
-        for i in range(0, max(len(toks), 1), self.stream_interval):
-            text = self.tok.decode(toks[: i + self.stream_interval],
-                                   skip_special_tokens=False
+        toks = []
+        steps = 0
+        while steps < self.max_new_tokens:
+            state, chunk_toks, chunk_done = self._chunk(self.params, state)
+            done_np = np.asarray(chunk_done)[0]
+            for t, was_done in zip(np.asarray(chunk_toks)[0], done_np):
+                if not was_done and int(t) > 0:
+                    toks.append(int(t))
+            steps += chunk_toks.shape[1]
+            text = self.tok.decode(toks, skip_special_tokens=False
                                    ).replace("</s>", "")
             yield json.dumps({"text": text, "mask": [], "height": "0",
                               "width": "0",
                               "error_code": protocol.ERROR_CODE_OK}
                              ).encode() + protocol.STREAM_DELIMITER
+            if bool(done_np[-1]) or bool(np.asarray(state.done)[0]):
+                break
 
         text = self.tok.decode(toks, skip_special_tokens=False
                                ).replace("</s>", "").strip()
+        masks, has_seg = self._ground(self.params, batch, state)
         encoded_mask, h, w = [], 0, 0
-        if bool(np.asarray(res.has_seg)[0]):
-            logits = np.asarray(res.pred_masks)[0]
+        if bool(np.asarray(has_seg)[0]):
+            logits = np.asarray(masks)[0]
             pred = pp.unpad_and_resize_mask(
                 logits, sample["resize_hw"], sample["original_hw"])
             encoded_mask, h, w = protocol.encode_sparse_mask(

@@ -131,3 +131,30 @@ def test_pack_inference_preserves_outputs():
     assert qp["llm"]["layers"]["attn"]["qkv_proj"]["kernel"].dtype == jnp.int8
     res = medplib.generate(qp, cfg, batch, max_new_tokens=4)
     assert bool(jnp.all(jnp.isfinite(res.pred_masks)))
+
+
+def test_streaming_decode_matches_generate():
+    """stream_prefill + chunked stream_decode_chunk + stream_ground must
+    reproduce generate() exactly (tokens and mask)."""
+    cfg = MedplibConfig.tiny()
+    params = medplib.init_medplib(jax.random.PRNGKey(0), cfg)
+    batch = ge._make_batch(cfg, B=2, T=12, rng=np.random.default_rng(1))
+    max_new = 6
+    base = medplib.generate(params, cfg, batch, max_new_tokens=max_new,
+                            eos_id=-1)
+
+    state = medplib.stream_prefill(params, cfg, batch,
+                                   max_new_tokens=max_new)
+    toks = []
+    for _ in range(max_new // 2):
+        state, chunk_toks, _ = medplib.stream_decode_chunk(
+            params, cfg, state, chunk=2, eos_id=-1)
+        toks.append(np.asarray(chunk_toks))
+    streamed = np.concatenate(toks, axis=1)
+    np.testing.assert_array_equal(streamed, np.asarray(base.output_ids))
+
+    masks, has_seg = medplib.stream_ground(params, cfg, batch, state)
+    np.testing.assert_array_equal(np.asarray(has_seg),
+                                  np.asarray(base.has_seg))
+    np.testing.assert_allclose(np.asarray(masks),
+                               np.asarray(base.pred_masks), atol=2e-3)
