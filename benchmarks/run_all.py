@@ -17,6 +17,7 @@ Configs (BASELINE.json):
     flagship; the repo-root bench.py reports this one vs the H100 baseline
  5. MedPLIB-ICL: MoE 7B with in-context (image, mask) examples
  6. (extra) training-step throughput, stage-3-style seg SFT
+ 7. (extra) long-ICL prefill at 8k tokens (streaming flash attention)
 """
 
 from __future__ import annotations
@@ -228,8 +229,34 @@ def bench_train(tiny: bool):
     _report(6, "train_step_throughput", toks / dt, "tok/s")
 
 
+def bench_long_context(tiny: bool):
+    """Config 7 (extra): 8k-token prefill throughput — the 3-shot separate
+    ICL regime (infer_medplib_icl.sh:32-34 suggests ctx 8192); exercises the
+    streaming flash-attention kernel (ops/pallas/flash_attention.py)."""
+    from medplib_tpu.models import llama
+    from medplib_tpu.config import LlamaConfig
+    if tiny:
+        cfg, B, T = LlamaConfig.tiny(), 1, 256
+    else:
+        cfg, B, T = LlamaConfig(num_layers=8), 1, 8192
+    dtype = jnp.float32 if tiny else jnp.bfloat16
+    params = jax.jit(lambda k: llama.init_llama(k, cfg, dtype))(
+        jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    x = jax.random.randint(jax.random.PRNGKey(1), (B, T), 3, 1000)
+    mask = jnp.ones((B, T), jnp.int32)
+
+    def prefill(p, ids):
+        emb = llama.embed(p, ids)
+        h, _, _ = llama.forward(p, cfg, emb, mask)
+        return h
+
+    dt = _timed(jax.jit(prefill), params, x)
+    _report(7, "long_icl_prefill", B * T / dt, "tok/s")
+
+
 BENCHES = {1: bench_clip, 2: bench_vqa, 3: bench_region, 4: bench_seg,
-           5: bench_icl, 6: bench_train}
+           5: bench_icl, 6: bench_train, 7: bench_long_context}
 
 
 def main(argv=None):
