@@ -64,9 +64,10 @@ def main():
     jax.block_until_ready(params)
     log("init done")
 
-    # NOTE: packing is OFF by default here: XLA materializes full bf16
-    # dequant copies of the wide packed kernels when combined with int8
-    # (OOM at 7B); pack_inference is for bf16 serving configs instead
+    # NOTE: packing is OFF by default: at 7B on 16G HBM the packed+int8
+    # combination OOMs even with the Pallas int8 matmul (the wide fused
+    # outputs can't fuse across the kernel boundary); pack_inference is for
+    # bf16 serving or bigger-HBM chips (v5p)
     if os.environ.get("BENCH_PACK", "0") == "1":
         # fuse q/k/v and gate/up kernels: one wide matmul per pair
         from medplib_tpu.models import llama

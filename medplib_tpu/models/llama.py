@@ -105,7 +105,14 @@ def init_llama(key, cfg: LlamaConfig, dtype=jnp.float32,
 def dense_mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """SwiGLU: down(silu(gate(x)) * up(x)). LoRA-aware linears."""
     if "gateup_proj" in p:  # inference-packed (pack_inference)
-        gu = lora_linear(p["gateup_proj"], x)
+        gp = p["gateup_proj"]
+        if gp["kernel"].dtype == jnp.int8:
+            # Pallas int8 matmul: XLA materializes a bf16 copy of the wide
+            # dequantized kernel otherwise (ops/pallas/int8_matmul.py)
+            from medplib_tpu.ops.pallas.int8_matmul import int8_matmul
+            gu = int8_matmul(x, gp["kernel"], gp["scale"])
+        else:
+            gu = lora_linear(gp, x)
         gate, up = jnp.split(gu, 2, axis=-1)
     else:
         gate = lora_linear(p["gate_proj"], x)
@@ -122,7 +129,12 @@ def dense_mlp_layer(layer_params: Params, x: jnp.ndarray):
 def _qkv(p: Params, x: jnp.ndarray, cfg: LlamaConfig, cos, sin):
     b, t, _ = x.shape
     if "qkv_proj" in p:  # inference-packed: one wide matmul (pack_inference)
-        qkv = lora_linear_t(p["qkv_proj"], x)
+        qp = p["qkv_proj"]
+        if qp["kernel"].dtype == jnp.int8:
+            from medplib_tpu.ops.pallas.int8_matmul import int8_matmul_t
+            qkv = int8_matmul_t(x, qp["kernel"], qp["scale"])
+        else:
+            qkv = lora_linear_t(qp, x)
         qd = cfg.num_heads * cfg.head_dim
         kd = cfg.num_kv_heads * cfg.head_dim
         q = qkv[..., :qd].reshape(b, t, cfg.num_heads, cfg.head_dim)
