@@ -328,7 +328,13 @@ def pack_inference(llm_params: Params) -> Params:
     and gate/up into one [*, H, 2I] kernel so each layer issues one wide
     matmul instead of three/two (measured ~19% faster on the qkv matmul at
     prefill shapes on v5e). LoRA adapters must be merged first (lora.merge);
-    packed params remain compatible with utils/quantize.quantize_tree.
+    packed params remain compatible with utils/quantize.quantize_tree (the
+    int8 packed path goes through ops/pallas/int8_matmul).
+
+    Deployment envelope: at 7B on a single 16G-HBM v5e chip the wide fused
+    outputs push peak memory over HBM at serving batch sizes — packing is
+    for smaller models or larger-HBM parts (v5p/v6e); the 7B/v5e-1 bench
+    runs unpacked.
 
     MUTATES llm_params: the source kernels are donated to the concat (the
     7B tree otherwise transiently needs ~8GB extra HBM) and removed."""
