@@ -126,7 +126,7 @@ def bench_vqa(tiny: bool):
     params = _params(cfg, jnp.float32 if tiny else jnp.bfloat16)
     B, T, new = (2, 16, 4) if tiny else (2, 48, 32)
     batch = _vqa_batch(cfg, B, T)
-    gen = jax.jit(lambda p, b: medplib.generate(p, cfg, b,
+    gen = jax.jit(lambda p, b: medplib.generate(p, cfg, b, ground=False,
                                                 max_new_tokens=new))
     dt = _timed(gen, params, batch)
     _report(2, "vqa_decode_throughput", B * new / dt, "tok/s")
@@ -145,6 +145,7 @@ def bench_region(tiny: bool):
     B, T, new = (2, 16, 4) if tiny else (2, 48, 16)
     batch = _vqa_batch(cfg, B, T, region=True)
     gen = jax.jit(lambda p, b: medplib.generate(p, cfg, b, rp_flag=True,
+                                                ground=False,
                                                 max_new_tokens=new))
     dt = _timed(gen, params, batch)
     _report(3, "region_vqa_latency", dt * 1e3 / B, "ms/sample")
@@ -224,7 +225,7 @@ def bench_train(tiny: bool):
         loss, grads = jax.value_and_grad(loss_fn)(p)
         return jax.tree_util.tree_map(lambda w, g: w - 1e-6 * g, p, grads)
 
-    dt = _timed(train_step, params, batch, iters=3)
+    dt = _timed(jax.jit(train_step), params, batch, iters=3)
     toks = B * (T - 1 + cfg.vision.num_patches)
     _report(6, "train_step_throughput", toks / dt, "tok/s")
 

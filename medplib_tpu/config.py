@@ -337,3 +337,25 @@ def from_json(s: str) -> Any:
             return [dec(v) for v in o]
         return o
     return dec(json.loads(s))
+
+
+def tiny_cli_config(moe_cfg: "MoeConfig", seg_token_idx: int,
+                    tokenizer_len: int, seg_cfg: "SegConfig" = None,
+                    region_adapter: bool = None,
+                    region_geo_sampler: bool = None) -> "MedplibConfig":
+    """Shared --tiny debug config builder for the train/eval/chat CLIs:
+    tiny dimensions, the caller's MoE/loss settings, tokenizer-derived ids,
+    and (unlike a bare MedplibConfig.tiny()) the CLI's region flags."""
+    import dataclasses as _dc
+    cfg = MedplibConfig.tiny()
+    proj = cfg.projector
+    if region_adapter is not None:
+        proj = _dc.replace(proj, region_adapter=bool(region_adapter))
+    if region_geo_sampler is not None:
+        proj = _dc.replace(proj, region_geo_sampler=bool(region_geo_sampler))
+    seg = cfg.seg
+    if seg_cfg is not None:  # user loss weights, tiny out_dim
+        seg = _dc.replace(seg_cfg, out_dim=cfg.seg.out_dim)
+    return _dc.replace(cfg, moe=moe_cfg, seg=seg, projector=proj,
+                       seg_token_idx=seg_token_idx,
+                       vocab_size_padded=max(tokenizer_len + 8, 64))

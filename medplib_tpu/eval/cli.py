@@ -60,10 +60,8 @@ def main(argv=None):
                         eval_capacity_factor=2.0, moe_mode="dense")
     seg_idx = tokenizer.convert_tokens_to_ids("<SEG>")
     if args.tiny:
-        import dataclasses
-        cfg = dataclasses.replace(
-            MedplibConfig.tiny(), moe=moe_cfg, seg_token_idx=seg_idx,
-            vocab_size_padded=max(len(tokenizer) + 8, 64))
+        from medplib_tpu.config import tiny_cli_config
+        cfg = tiny_cli_config(moe_cfg, seg_idx, len(tokenizer))
     else:
         cfg = MedplibConfig(moe=moe_cfg, seg_token_idx=seg_idx,
                             vocab_size_padded=len(tokenizer))

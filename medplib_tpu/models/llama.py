@@ -344,6 +344,10 @@ def pack_inference(llm_params: Params) -> Params:
         for name in ("q_proj", "k_proj", "v_proj"):
             if "lora_a" in attn[name]:
                 raise ValueError("merge LoRA before pack_inference")
+            if "scale" in attn[name]:
+                raise ValueError("pack_inference must run BEFORE "
+                                 "quantize_tree (per-channel scales can't "
+                                 "be concatenated post hoc)")
         # [out, in] transposed kernels (possibly [L, out, in] stacked):
         # concat along the out axis; inputs donated -> freed immediately
         kq = attn.pop("q_proj")["kernel"]

@@ -352,7 +352,8 @@ def generate(params: Params, cfg: MedplibConfig, batch: Batch,
              max_new_tokens: int = 64, eos_id: int = 2,
              rp_flag: bool = False, out_size: Optional[int] = None,
              ep_shard: bool = False,
-             unroll_layers: bool = False) -> GenerateResult:
+             unroll_layers: bool = False,
+             ground: bool = True) -> GenerateResult:
     """Greedy decode + pixel grounding, fully jit-able.
 
     Reproduces model.evaluate(): generate with hidden-state harvesting, find
@@ -427,12 +428,17 @@ def generate(params: Params, cfg: MedplibConfig, batch: Batch,
     seg_emb = jnp.where(p_valid[:, :1], p_emb[:, 0], seg_emb)
     has_seg = seg_found | p_valid[:, 0]
 
-    sam_emb = sam_med2d.encode_image(params["sam"]["image_encoder"],
-                                     batch.images_sam, cfg.sam)
-    masks, _ = decode_seg_masks(params, cfg, sam_emb, seg_emb[:, None],
-                                out_size or cfg.sam.image_size)
+    if ground:
+        sam_emb = sam_med2d.encode_image(params["sam"]["image_encoder"],
+                                         batch.images_sam, cfg.sam)
+        masks, _ = decode_seg_masks(params, cfg, sam_emb, seg_emb[:, None],
+                                    out_size or cfg.sam.image_size)
+        pred = masks[:, 0]
+    else:  # pure-VQA: skip the SAM forward entirely
+        o = out_size or cfg.sam.image_size
+        pred = jnp.zeros((b, o, o), jnp.float32)
     return GenerateResult(output_ids=output_ids, num_generated=num_generated,
-                          pred_masks=masks[:, 0], has_seg=has_seg)
+                          pred_masks=pred, has_seg=has_seg)
 
 
 # ---------------------------------------------------------------------------

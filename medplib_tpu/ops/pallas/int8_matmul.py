@@ -57,7 +57,15 @@ def _matmul(x2d: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
     if m_pad:
         x2d = jnp.pad(x2d, ((0, m_pad), (0, 0)))
     mp = m + m_pad
-    assert n % bn == 0, (n, bn)
+    n_pad = -n % bn
+    if n_pad:  # pad output channels like rows (zero scale -> zero output)
+        if transposed:
+            w = jnp.pad(w, ((0, n_pad), (0, 0)))
+            scale = jnp.pad(scale, ((0, n_pad), (0, 0)))
+        else:
+            w = jnp.pad(w, ((0, 0), (0, n_pad)))
+            scale = jnp.pad(scale, ((0, 0), (0, n_pad)))
+    np_ = n + n_pad
 
     if transposed:
         w_spec = pl.BlockSpec((bn, k), lambda i, j: (j, 0),
@@ -72,7 +80,7 @@ def _matmul(x2d: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
 
     out = pl.pallas_call(
         functools.partial(_kernel, transposed=transposed),
-        grid=(mp // bm, n // bn),
+        grid=(mp // bm, np_ // bn),
         in_specs=[
             pl.BlockSpec((bm, k), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -81,7 +89,7 @@ def _matmul(x2d: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mp, n), x2d.dtype),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), x2d.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * n * k,
             bytes_accessed=x2d.size * x2d.dtype.itemsize + w.size + n * 4,
@@ -89,7 +97,7 @@ def _matmul(x2d: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
         ),
         interpret=jax.default_backend() != "tpu",
     )(x2d, w, scale)
-    return out[:m] if m_pad else out
+    return out[:m, :n]
 
 
 def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray,

@@ -61,16 +61,23 @@ class ModelWorker:
             clip_image_size=cfg.vision.image_size)
         eos = getattr(tokenizer, "eos_token_id", 2) or 2
         self.max_new_tokens = max_new_tokens
+        # KV cache must cover a WHOLE number of decode chunks: the loop
+        # always runs full stream_interval-sized chunks, so size the cache
+        # for the rounded-up budget and truncate emitted text instead
+        chunks = -(-max_new_tokens // stream_interval)
+        self._decode_budget = chunks * stream_interval
         # TRUE streaming: prefill once, then decode in stream_interval-sized
         # jitted chunks, emitting text between chunks (the reference worker's
         # per-token loop, model_worker.py:393-427, amortized per chunk).
         # Two prefill variants: region requests need the region splice.
         self._prefill = jax.jit(
             lambda p, b: medplib.stream_prefill(
-                p, cfg, b, max_new_tokens=max_new_tokens, rp_flag=False))
+                p, cfg, b, max_new_tokens=self._decode_budget,
+                rp_flag=False))
         self._prefill_region = jax.jit(
             lambda p, b: medplib.stream_prefill(
-                p, cfg, b, max_new_tokens=max_new_tokens, rp_flag=True))
+                p, cfg, b, max_new_tokens=self._decode_budget,
+                rp_flag=True))
         self._chunk = jax.jit(
             lambda p, st: medplib.stream_decode_chunk(
                 p, cfg, st, chunk=stream_interval, eos_id=eos))
@@ -166,7 +173,8 @@ class ModelWorker:
             state, chunk_toks, chunk_done = self._chunk(self.params, state)
             done_np = np.asarray(chunk_done)[0]
             for t, was_done in zip(np.asarray(chunk_toks)[0], done_np):
-                if not was_done and int(t) > 0:
+                if not was_done and int(t) > 0 and \
+                        len(toks) < self.max_new_tokens:
                     toks.append(int(t))
             steps += chunk_toks.shape[1]
             text = self.tok.decode(toks, skip_special_tokens=False
@@ -180,9 +188,10 @@ class ModelWorker:
 
         text = self.tok.decode(toks, skip_special_tokens=False
                                ).replace("</s>", "").strip()
-        masks, has_seg = self._ground(self.params, batch, state)
         encoded_mask, h, w = [], 0, 0
-        if bool(np.asarray(has_seg)[0]):
+        # skip the full SAM forward for non-segmentation requests
+        if bool(np.asarray(state.seg_found)[0]):
+            masks, _ = self._ground(self.params, batch, state)
             logits = np.asarray(masks)[0]
             pred = pp.unpad_and_resize_mask(
                 logits, sample["resize_hw"], sample["original_hw"])

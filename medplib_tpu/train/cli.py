@@ -116,14 +116,11 @@ def main(argv=None):
         focal_loss_weight=args.focal_loss_weight,
         iou_loss_weight=args.iou_loss_weight)
     if args.tiny:
-        import dataclasses
-        tiny = MedplibConfig.tiny()
-        # keep tiny's dimensions (out_dim) but the user's loss weights
-        cfg = dataclasses.replace(
-            tiny, moe=moe_cfg,
-            seg=dataclasses.replace(seg_cfg, out_dim=tiny.seg.out_dim),
-            seg_token_idx=seg_idx,
-            vocab_size_padded=max(len(tokenizer) + 8, 64))
+        from medplib_tpu.config import tiny_cli_config
+        cfg = tiny_cli_config(moe_cfg, seg_idx, len(tokenizer),
+                              seg_cfg=seg_cfg,
+                              region_adapter=args.region_fea_adapter,
+                              region_geo_sampler=args.region_geo_sampler)
     else:
         cfg = MedplibConfig(
             moe=moe_cfg, seg=seg_cfg,
