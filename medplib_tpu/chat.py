@@ -34,6 +34,12 @@ def build_argparser():
                     help="MoE checkpoint (MedPLIB-7b-2e layout)")
     ap.add_argument("--vis-save-path", default="./vis_output")
     ap.add_argument("--max-new-tokens", type=int, default=512)
+    ap.add_argument("--temperature", type=float, default=0.0,
+                    help="sampling temperature; < 1e-4 = greedy "
+                         "(model_worker.py:420-425 semantics)")
+    ap.add_argument("--top-p", type=float, default=1.0,
+                    help="nucleus sampling mass (applies when sampling)")
+    ap.add_argument("--seed", type=int, default=0, help="sampling RNG seed")
     ap.add_argument("--sam-img-size", type=int, default=256)
     # debug (the reference's --cpu_only analog)
     ap.add_argument("--tiny", action="store_true",
@@ -82,9 +88,13 @@ def main(argv=None):
                         image_tokens=medplib.image_tokens_per_image(cfg),
                         sam_image_size=cfg.sam.image_size,
                         clip_image_size=cfg.vision.image_size)
-    gen = jax.jit(lambda p, b: medplib.generate(
+    do_sample = args.temperature >= 1e-4  # model_worker.py:420-425
+    gen = jax.jit(lambda p, b, k: medplib.generate(
         p, cfg, b, max_new_tokens=args.max_new_tokens,
-        eos_id=tokenizer.eos_token_id or 2, unroll_layers=not args.tiny))
+        eos_id=tokenizer.eos_token_id or 2, unroll_layers=not args.tiny,
+        do_sample=do_sample, temperature=args.temperature,
+        top_p=args.top_p, rng=k))
+    rng = jax.random.PRNGKey(args.seed)
 
     os.makedirs(args.vis_save_path, exist_ok=True)
     conv_template = conv_templates[args.conv_type]
@@ -120,7 +130,8 @@ def main(argv=None):
         }
         sample["labels"] = np.full(len(sample["input_ids"]), -100, np.int64)
         arrays, meta = collate([sample], cc)
-        res = gen(params, to_model_batch(arrays))
+        rng, turn_key = jax.random.split(rng)
+        res = gen(params, to_model_batch(arrays), turn_key)
         n = int(np.asarray(res.num_generated)[0])
         toks = [int(t) for t in np.asarray(res.output_ids)[0][:n] if t > 0]
         text = tokenizer.decode(toks, skip_special_tokens=False).replace(
@@ -128,7 +139,7 @@ def main(argv=None):
         print("ASSISTANT:", text)
 
         if bool(np.asarray(res.has_seg)[0]):
-            logits = np.asarray(res.pred_masks)[0]
+            logits = np.asarray(res.pred_masks)[0, 0]
             pred = pp.unpad_and_resize_mask(logits, resize_hw, rgb.shape[:2])
             mask = binarize_logits(pred)
             from PIL import Image

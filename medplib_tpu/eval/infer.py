@@ -124,7 +124,7 @@ class Evaluator:
                     gt_orig = (meta["gt_masks_original"][j] or [None])[0]
                     if gt_orig is not None and meta["resize_hw"][j]:
                         pred = pp.unpad_and_resize_mask(
-                            masks[j], meta["resize_hw"][j],
+                            masks[j, 0], meta["resize_hw"][j],
                             gt_orig.shape)
                         iou, dice = seg_metrics.sample_iou_dice(pred, gt_orig)
                         rec.update(iou=iou, dice=dice)

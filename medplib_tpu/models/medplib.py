@@ -336,16 +336,70 @@ def model_forward(params: Params, cfg: MedplibConfig, batch: Batch,
 
 
 # ---------------------------------------------------------------------------
-# generation (evaluate, MedPLIB.py:574-680): greedy decode with SEG-position
+# generation (evaluate, MedPLIB.py:574-680): decode with SEG-position
 # hidden-state capture INSIDE the loop (vs the reference's post-hoc concat of
-# per-step hidden states, 608-610)
+# per-step hidden states, 608-610). Supports greedy and temperature/top-p
+# sampling (model_worker.py:420-425) and captures up to `max_segs` SEG tokens
+# per row (model_forward decodes a mask per SEG slot, MedPLIB.py:473-502;
+# evaluate() keeps the first, 639-641 — max_segs=1 reproduces that).
 # ---------------------------------------------------------------------------
 
 class GenerateResult(NamedTuple):
     output_ids: jnp.ndarray   # [B, MAX_NEW] generated tokens (pad after EOS)
     num_generated: jnp.ndarray  # [B]
-    pred_masks: jnp.ndarray   # [B, out, out] mask logits for first SEG
-    has_seg: jnp.ndarray      # [B] bool
+    pred_masks: jnp.ndarray   # [B, S, out, out] mask logits per SEG slot
+    seg_valid: jnp.ndarray    # [B, S] slot holds a real SEG capture
+    has_seg: jnp.ndarray      # [B] bool (any SEG; slot 0 else holds fallback)
+
+
+def _seg_slot_write(seg_emb: jnp.ndarray, seg_count: jnp.ndarray,
+                    cap: jnp.ndarray, is_seg: jnp.ndarray):
+    """Write cap [B,D] into seg_emb [B,S,D] at each row's next free slot
+    where is_seg; returns updated (seg_emb, seg_count)."""
+    s = seg_emb.shape[1]
+    can = is_seg & (seg_count < s)
+    slot = jax.nn.one_hot(seg_count, s, dtype=bool) & can[:, None]
+    seg_emb = jnp.where(slot[..., None], cap[:, None, :].astype(seg_emb.dtype),
+                        seg_emb)
+    return seg_emb, seg_count + can.astype(seg_count.dtype)
+
+
+def _make_decode_step(params, cfg: MedplibConfig, eos_id: int,
+                      do_sample: bool, temperature, top_p,
+                      ep_shard: bool = False, unroll: bool = False):
+    """Scan body shared by generate() and stream_decode_chunk().
+
+    carry = (cache, tok, done, seg_emb [B,S,D], seg_count [B],
+             last_cap [B,D], rng). SEG emitted now -> capture THIS step's
+    hidden state: the reference indexes the concatenated per-step states with
+    the shifted mask output_ids[:, 1:] == seg_token_idx (MedPLIB.py:615-625),
+    i.e. the state of the forward pass that predicted SEG.
+    """
+    from medplib_tpu.ops import sampling
+
+    def step(carry, _):
+        cache, tok, done, seg_emb, seg_count, last_cap, key = carry
+        emb = llama.embed(params["llm"], tok[:, None])
+        hidden, cache = _llm_decode(params, cfg, emb, cache,
+                                    ep_shard=ep_shard, unroll=unroll)
+        logits = llama.logits(params["llm"], hidden)[:, 0]
+        if do_sample:
+            key, sub = jax.random.split(key)
+            new_tok = sampling.sample_token(sub, logits, temperature, top_p)
+            new_tok = new_tok.astype(tok.dtype)
+        else:
+            new_tok = jnp.argmax(logits, -1).astype(tok.dtype)
+        is_seg = (new_tok == cfg.seg_token_idx) & (~done)
+        cap = text_hidden_fcs(params["text_hidden_fcs"], hidden)[:, 0]
+        seg_emb, seg_count = _seg_slot_write(seg_emb, seg_count, cap, is_seg)
+        last_cap = jnp.where(done[:, None], last_cap,
+                             cap.astype(last_cap.dtype))
+        new_tok = jnp.where(done, 0, new_tok)
+        new_done = done | (new_tok == eos_id)
+        return ((cache, new_tok, new_done, seg_emb, seg_count, last_cap, key),
+                (tok, done))
+
+    return step
 
 
 def generate(params: Params, cfg: MedplibConfig, batch: Batch,
@@ -353,13 +407,19 @@ def generate(params: Params, cfg: MedplibConfig, batch: Batch,
              rp_flag: bool = False, out_size: Optional[int] = None,
              ep_shard: bool = False,
              unroll_layers: bool = False,
-             ground: bool = True) -> GenerateResult:
-    """Greedy decode + pixel grounding, fully jit-able.
+             ground: bool = True,
+             max_segs: int = 1,
+             do_sample: bool = False, temperature=1.0, top_p=1.0,
+             rng: Optional[jax.Array] = None) -> GenerateResult:
+    """Decode + pixel grounding, fully jit-able.
 
     Reproduces model.evaluate(): generate with hidden-state harvesting, find
-    the first <SEG> in the output, decode its (shifted) hidden state through
-    text_hidden_fcs -> SAM. Fallback when no SEG: second-to-last hidden
-    (MedPLIB.py:639-644).
+    <SEG> tokens in the output (prompt SEGs first, then generated, up to
+    `max_segs`), decode each captured hidden state through text_hidden_fcs ->
+    SAM, batched over slots. Fallback when no SEG anywhere: the last decode
+    step's projected hidden in slot 0 (MedPLIB.py:642-644). `do_sample`
+    enables temperature/top-p sampling (traced scalars, one program for any
+    value; model_worker.py:420-425) — greedy compiles with no sampling ops.
     """
     b = batch.input_ids.shape[0]
     embeds, _, attn_mask, seg_mask_prompt, _ = splice_batch(
@@ -376,69 +436,57 @@ def generate(params: Params, cfg: MedplibConfig, batch: Batch,
     last_idx = jnp.maximum(jnp.sum(attn_mask, -1) - 1, 0)
     last_hidden = jnp.take_along_axis(hidden, last_idx[:, None, None],
                                       axis=1)  # [B, 1, H]
-    next_tok = jnp.argmax(
-        llama.logits(params["llm"], last_hidden)[:, 0], -1)
+    from medplib_tpu.ops import sampling
+    key = rng if rng is not None else jax.random.PRNGKey(0)
+    key, sub = jax.random.split(key)
+    next_tok = sampling.select_token(
+        llama.logits(params["llm"], last_hidden)[:, 0], sub, do_sample,
+        temperature, top_p)
 
-    # prompt-side SEG capture (a SEG in the prompt, e.g. teacher-forced eval)
+    # prompt-side SEG capture (SEGs in the prompt, e.g. teacher-forced eval)
     proj_prompt = text_hidden_fcs(params["text_hidden_fcs"], hidden)
     p_emb, p_valid, _ = splice_ops.gather_seg_embeddings(
-        proj_prompt, seg_mask_prompt, 1)
+        proj_prompt, seg_mask_prompt, max_segs)  # valid slots left-packed
 
-    seg_dim = cfg.seg.out_dim
-
-    def step(carry, _):
-        cache, tok, done, seg_emb, seg_found, prev_hidden = carry
-        emb = llama.embed(params["llm"], tok[:, None])
-        hidden, cache = _llm_decode(params, cfg, emb, cache,
-                                    ep_shard=ep_shard, unroll=unroll_layers)
-        logits = llama.logits(params["llm"], hidden)[:, 0]
-        new_tok = jnp.argmax(logits, -1)
-        # SEG emitted now -> capture THIS step's hidden state: the reference
-        # indexes the concatenated per-step states with the shifted mask
-        # output_ids[:, 1:] == seg_token_idx (MedPLIB.py:615-625), i.e. the
-        # state of the forward pass that predicted SEG — exactly `hidden`.
-        is_seg = (new_tok == cfg.seg_token_idx) & (~seg_found) & (~done)
-        cap = text_hidden_fcs(params["text_hidden_fcs"], hidden)[:, 0]
-        seg_emb = jnp.where(is_seg[:, None], cap, seg_emb)
-        seg_found = seg_found | is_seg
-
-        new_tok = jnp.where(done, 0, new_tok)
-        new_done = done | (new_tok == eos_id)
-        return ((cache, new_tok, new_done, seg_emb, seg_found, hidden),
-                (tok, done))
+    seg_emb = jnp.where(p_valid[..., None], p_emb,
+                        jnp.zeros_like(p_emb)).astype(embeds.dtype)
+    seg_count = jnp.sum(p_valid, axis=1).astype(jnp.int32)
 
     # SEG as the FIRST generated token: the predicting state is the
     # prefill's last real-token hidden (the shifted mask's prompt boundary)
-    first_seg = next_tok == cfg.seg_token_idx
     first_cap = text_hidden_fcs(params["text_hidden_fcs"], last_hidden)[:, 0]
-    init_emb = jnp.where(first_seg[:, None],
-                         first_cap.astype(embeds.dtype),
-                         jnp.zeros((b, seg_dim), embeds.dtype))
-    carry = (cache, next_tok, jnp.zeros((b,), bool), init_emb,
-             first_seg, last_hidden)
+    first_seg = next_tok == cfg.seg_token_idx
+    seg_emb, seg_count = _seg_slot_write(seg_emb, seg_count, first_cap,
+                                         first_seg)
+
+    step = _make_decode_step(params, cfg, eos_id, do_sample, temperature,
+                             top_p, ep_shard=ep_shard, unroll=unroll_layers)
+    carry = (cache, next_tok, jnp.zeros((b,), bool), seg_emb, seg_count,
+             first_cap.astype(seg_emb.dtype), key)
     carry, (toks, dones) = jax.lax.scan(step, carry, None,
                                         length=max_new_tokens)
-    _, _, _, seg_emb, seg_found, final_hidden = carry
+    _, _, _, seg_emb, seg_count, last_cap, _ = carry
     output_ids = jnp.moveaxis(toks, 0, 1)  # [B, MAX_NEW]
     num_generated = jnp.sum(~jnp.moveaxis(dones, 0, 1), axis=1)
 
-    # priority: prompt SEG > generated SEG > fallback (last hidden state)
-    fallback = text_hidden_fcs(params["text_hidden_fcs"], final_hidden)[:, 0]
-    seg_emb = jnp.where(seg_found[:, None], seg_emb, fallback)
-    seg_emb = jnp.where(p_valid[:, :1], p_emb[:, 0], seg_emb)
-    has_seg = seg_found | p_valid[:, 0]
+    # fallback when no SEG anywhere: last projected hidden in slot 0
+    has_seg = seg_count > 0
+    seg_emb = seg_emb.at[:, 0].set(
+        jnp.where(has_seg[:, None], seg_emb[:, 0],
+                  last_cap.astype(seg_emb.dtype)))
+    seg_valid = jnp.arange(max_segs)[None, :] < seg_count[:, None]
 
     if ground:
         sam_emb = sam_med2d.encode_image(params["sam"]["image_encoder"],
                                          batch.images_sam, cfg.sam)
-        masks, _ = decode_seg_masks(params, cfg, sam_emb, seg_emb[:, None],
-                                    out_size or cfg.sam.image_size)
-        pred = masks[:, 0]
+        pred, _ = decode_seg_masks(params, cfg, sam_emb, seg_emb,
+                                   out_size or cfg.sam.image_size)
     else:  # pure-VQA: skip the SAM forward entirely
         o = out_size or cfg.sam.image_size
-        pred = jnp.zeros((b, o, o), jnp.float32)
+        pred = jnp.zeros((b, max_segs, o, o), jnp.float32)
     return GenerateResult(output_ids=output_ids, num_generated=num_generated,
-                          pred_masks=pred, has_seg=has_seg)
+                          pred_masks=pred, seg_valid=seg_valid,
+                          has_seg=has_seg)
 
 
 # ---------------------------------------------------------------------------
@@ -451,15 +499,26 @@ class StreamState(NamedTuple):
     cache: Any                # llama.KVCache
     tok: jnp.ndarray          # [B] next input token
     done: jnp.ndarray         # [B] bool
-    seg_emb: jnp.ndarray      # [B, out_dim]
-    seg_found: jnp.ndarray    # [B] bool
+    seg_emb: jnp.ndarray      # [B, S, out_dim] captured SEG slots
+    seg_count: jnp.ndarray    # [B] number of filled slots
+    last_cap: jnp.ndarray     # [B, out_dim] latest projected hidden (fallback)
+    rng: jnp.ndarray          # PRNG key for sampling
+
+    @property
+    def seg_found(self):
+        return self.seg_count > 0
 
 
 def stream_prefill(params: Params, cfg: MedplibConfig, batch: Batch,
-                   max_new_tokens: int, rp_flag: bool = False) -> StreamState:
+                   max_new_tokens: int, rp_flag: bool = False,
+                   max_segs: int = 1,
+                   do_sample: bool = False, temperature=1.0, top_p=1.0,
+                   rng: Optional[jax.Array] = None) -> StreamState:
     """Splice + prefill; returns the carry for stream_decode_chunk. SEG
-    capture semantics match generate() (this step's hidden; prompt SEG and
+    capture semantics match generate() (this step's hidden; prompt SEGs and
     first-generated-token SEG included)."""
+    from medplib_tpu.ops import sampling
+
     b = batch.input_ids.shape[0]
     embeds, _, attn_mask, seg_mask_prompt, _ = splice_batch(
         params, cfg, batch, need_region=rp_flag)
@@ -469,47 +528,41 @@ def stream_prefill(params: Params, cfg: MedplibConfig, batch: Batch,
                                     cache=cache, train=False)
     last_idx = jnp.maximum(jnp.sum(attn_mask, -1) - 1, 0)
     last_hidden = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)
-    next_tok = jnp.argmax(llama.logits(params["llm"], last_hidden)[:, 0], -1)
+    key = rng if rng is not None else jax.random.PRNGKey(0)
+    key, sub = jax.random.split(key)
+    next_tok = sampling.select_token(
+        llama.logits(params["llm"], last_hidden)[:, 0], sub, do_sample,
+        temperature, top_p)
 
     proj_prompt = text_hidden_fcs(params["text_hidden_fcs"], hidden)
     p_emb, p_valid, _ = splice_ops.gather_seg_embeddings(
-        proj_prompt, seg_mask_prompt, 1)
+        proj_prompt, seg_mask_prompt, max_segs)
+    seg_emb = jnp.where(p_valid[..., None], p_emb,
+                        jnp.zeros_like(p_emb)).astype(embeds.dtype)
+    seg_count = jnp.sum(p_valid, axis=1).astype(jnp.int32)
 
     first_seg = next_tok == cfg.seg_token_idx
     first_cap = text_hidden_fcs(params["text_hidden_fcs"], last_hidden)[:, 0]
-    seg_emb = jnp.where(p_valid[:, :1], p_emb[:, 0],
-                        jnp.where(first_seg[:, None],
-                                  first_cap.astype(embeds.dtype),
-                                  jnp.zeros((b, cfg.seg.out_dim),
-                                            embeds.dtype)))
-    seg_found = p_valid[:, 0] | first_seg
+    seg_emb, seg_count = _seg_slot_write(seg_emb, seg_count, first_cap,
+                                         first_seg)
     return StreamState(cache=cache, tok=next_tok,
                        done=jnp.zeros((b,), bool), seg_emb=seg_emb,
-                       seg_found=seg_found)
+                       seg_count=seg_count,
+                       last_cap=first_cap.astype(seg_emb.dtype), rng=key)
 
 
 def stream_decode_chunk(params: Params, cfg: MedplibConfig,
                         state: StreamState, chunk: int,
-                        eos_id: int = 2):
-    """Decode `chunk` greedy tokens from the carried state.
+                        eos_id: int = 2,
+                        do_sample: bool = False, temperature=1.0,
+                        top_p=1.0):
+    """Decode `chunk` tokens from the carried state (greedy, or
+    temperature/top-p when do_sample — model_worker.py:420-425).
     -> (new state, tokens [B, chunk], done-before-step [B, chunk])."""
-    def step(carry, _):
-        cache, tok, done, seg_emb, seg_found = carry
-        emb = llama.embed(params["llm"], tok[:, None])
-        hidden, cache = _llm_decode(params, cfg, emb, cache)
-        logits = llama.logits(params["llm"], hidden)[:, 0]
-        new_tok = jnp.argmax(logits, -1)
-        is_seg = (new_tok == cfg.seg_token_idx) & (~seg_found) & (~done)
-        cap = text_hidden_fcs(params["text_hidden_fcs"], hidden)[:, 0]
-        seg_emb = jnp.where(is_seg[:, None], cap.astype(seg_emb.dtype),
-                            seg_emb)
-        seg_found = seg_found | is_seg
-        new_tok = jnp.where(done, 0, new_tok)
-        new_done = done | (new_tok == eos_id)
-        return (cache, new_tok, new_done, seg_emb, seg_found), (tok, done)
-
+    step = _make_decode_step(params, cfg, eos_id, do_sample, temperature,
+                             top_p)
     carry = (state.cache, state.tok, state.done, state.seg_emb,
-             state.seg_found)
+             state.seg_count, state.last_cap, state.rng)
     carry, (toks, dones) = jax.lax.scan(step, carry, None, length=chunk)
     new_state = StreamState(*carry)
     return new_state, jnp.moveaxis(toks, 0, 1), jnp.moveaxis(dones, 0, 1)
@@ -519,9 +572,16 @@ def stream_ground(params: Params, cfg: MedplibConfig, batch: Batch,
                   state: StreamState,
                   out_size: Optional[int] = None):
     """Final grounding for a finished stream: SAM encode + mask decode from
-    the captured SEG embedding. -> (mask logits [B, out, out], has_seg [B])."""
+    every captured SEG slot (fallback last_cap in slot 0 when none).
+    -> (mask logits [B, S, out, out], seg_valid [B, S])."""
+    has_seg = state.seg_count > 0
+    seg_emb = state.seg_emb.at[:, 0].set(
+        jnp.where(has_seg[:, None], state.seg_emb[:, 0],
+                  state.last_cap.astype(state.seg_emb.dtype)))
     sam_emb = sam_med2d.encode_image(params["sam"]["image_encoder"],
                                      batch.images_sam, cfg.sam)
-    masks, _ = decode_seg_masks(params, cfg, sam_emb, state.seg_emb[:, None],
+    masks, _ = decode_seg_masks(params, cfg, sam_emb, seg_emb,
                                 out_size or cfg.sam.image_size)
-    return masks[:, 0], state.seg_found
+    s = state.seg_emb.shape[1]
+    seg_valid = jnp.arange(s)[None, :] < state.seg_count[:, None]
+    return masks, seg_valid

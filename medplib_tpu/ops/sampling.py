@@ -1,0 +1,50 @@
+"""Token sampling: temperature + nucleus (top-p) filtering.
+
+Rebuild of the reference worker's decode-time sampling
+(/root/reference/model/serve/model_worker.py:288-289 parses per-request
+`temperature`/`top_p`; 420-425 does `argmax` when temperature < 1e-4 else
+`multinomial(softmax(logits / temperature))`). The reference parses top_p
+but never applies it; here it is honored (top_p=1.0 reproduces the
+reference's pure temperature sampling exactly).
+
+All inputs are traced values so one compiled program serves any
+temperature/top_p; only the sample-vs-greedy choice is a static flag at the
+call sites (greedy stays a pure argmax with no sort in the program).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_token(key: jax.Array, logits: jnp.ndarray,
+                 temperature: jnp.ndarray | float = 1.0,
+                 top_p: jnp.ndarray | float = 1.0) -> jnp.ndarray:
+    """Sample next tokens from [..., V] logits.
+
+    temperature scales logits (clamped away from 0 — callers route
+    temperature < 1e-4 to argmax, matching model_worker.py:420-425);
+    top_p keeps the smallest prefix of the descending-probability vocab
+    whose mass reaches top_p (the top-1 token is always kept).
+    """
+    logits = logits.astype(jnp.float32) / jnp.maximum(
+        jnp.asarray(temperature, jnp.float32), 1e-6)
+    sorted_logits = jnp.flip(jnp.sort(logits, axis=-1), axis=-1)
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep token k iff the mass strictly before it is < top_p; k=0 always kept
+    keep = (cum - probs) < jnp.asarray(top_p, jnp.float32)
+    min_kept = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1,
+                       keepdims=True)
+    filtered = jnp.where(logits >= min_kept, logits, -jnp.inf)
+    return jax.random.categorical(key, filtered, axis=-1)
+
+
+def select_token(logits: jnp.ndarray, key: jax.Array, do_sample: bool,
+                 temperature, top_p) -> jnp.ndarray:
+    """Greedy argmax (do_sample=False, static — keeps the greedy program
+    sort-free) or temperature/top-p sampling."""
+    if not do_sample:
+        return jnp.argmax(logits, axis=-1)
+    return sample_token(key, logits, temperature, top_p)

@@ -69,18 +69,24 @@ class ModelWorker:
         # TRUE streaming: prefill once, then decode in stream_interval-sized
         # jitted chunks, emitting text between chunks (the reference worker's
         # per-token loop, model_worker.py:393-427, amortized per chunk).
-        # Two prefill variants: region requests need the region splice.
-        self._prefill = jax.jit(
-            lambda p, b: medplib.stream_prefill(
-                p, cfg, b, max_new_tokens=self._decode_budget,
-                rp_flag=False))
-        self._prefill_region = jax.jit(
-            lambda p, b: medplib.stream_prefill(
-                p, cfg, b, max_new_tokens=self._decode_budget,
-                rp_flag=True))
+        # Variants: region requests need the region splice; sampling requests
+        # (temperature >= 1e-4, model_worker.py:420-425) need the sampling
+        # program with traced temperature/top_p (one compile for any value).
+        # jit is lazy, so unused variants never compile.
+        def mk_prefill(rp: bool, ds: bool):
+            return jax.jit(lambda p, b, t, tp, k: medplib.stream_prefill(
+                p, cfg, b, max_new_tokens=self._decode_budget, rp_flag=rp,
+                do_sample=ds, temperature=t, top_p=tp, rng=k))
+
+        self._prefills = {(rp, ds): mk_prefill(rp, ds)
+                          for rp in (False, True) for ds in (False, True)}
         self._chunk = jax.jit(
             lambda p, st: medplib.stream_decode_chunk(
                 p, cfg, st, chunk=stream_interval, eos_id=eos))
+        self._chunk_sample = jax.jit(
+            lambda p, st, t, tp: medplib.stream_decode_chunk(
+                p, cfg, st, chunk=stream_interval, eos_id=eos,
+                do_sample=True, temperature=t, top_p=tp))
         self._ground = jax.jit(
             lambda p, b, st: medplib.stream_ground(p, cfg, b, st))
         if controller_url:
@@ -154,6 +160,11 @@ class ModelWorker:
 
     def _generate_stream_inner(self, payload: dict):
         prompt = payload["prompt"]
+        # per-request sampling params, reference defaults
+        # (model_worker.py:288-289): temperature < 1e-4 routes to greedy
+        temperature = float(payload.get("temperature", 1.0))
+        top_p = float(payload.get("top_p", 1.0))
+        do_sample = temperature >= 1e-4
         image = protocol.decode_image_b64(payload["images"][0])
         region = None
         if payload.get("region_masks"):
@@ -163,14 +174,21 @@ class ModelWorker:
         sample = self.build_sample(prompt, image, region)
         arrays, meta = collate([sample], self.cc)
         batch = to_model_batch(arrays)
-        prefill = (self._prefill_region if region is not None
-                   else self._prefill)
-        state = prefill(self.params, batch)
+        seed = payload.get("seed")
+        key = jax.random.PRNGKey(int(seed) if seed is not None
+                                 else time.time_ns() & 0x7FFFFFFF)
+        state = self._prefills[(region is not None, do_sample)](
+            self.params, batch, temperature, top_p, key)
 
         toks = []
         steps = 0
         while steps < self.max_new_tokens:
-            state, chunk_toks, chunk_done = self._chunk(self.params, state)
+            if do_sample:
+                state, chunk_toks, chunk_done = self._chunk_sample(
+                    self.params, state, temperature, top_p)
+            else:
+                state, chunk_toks, chunk_done = self._chunk(self.params,
+                                                            state)
             done_np = np.asarray(chunk_done)[0]
             for t, was_done in zip(np.asarray(chunk_toks)[0], done_np):
                 if not was_done and int(t) > 0 and \
@@ -190,9 +208,9 @@ class ModelWorker:
                                ).replace("</s>", "").strip()
         encoded_mask, h, w = [], 0, 0
         # skip the full SAM forward for non-segmentation requests
-        if bool(np.asarray(state.seg_found)[0]):
+        if int(np.asarray(state.seg_count)[0]) > 0:
             masks, _ = self._ground(self.params, batch, state)
-            logits = np.asarray(masks)[0]
+            logits = np.asarray(masks)[0, 0]
             pred = pp.unpad_and_resize_mask(
                 logits, sample["resize_hw"], sample["original_hw"])
             encoded_mask, h, w = protocol.encode_sparse_mask(

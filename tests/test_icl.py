@@ -109,4 +109,4 @@ def test_icl_end_to_end_forward(icl_data):
     out = medplib.model_forward(params, cfg, batch, train=True)
     assert np.isfinite(float(out["loss"]))
     res = medplib.generate(params, cfg, batch, max_new_tokens=3)
-    assert res.pred_masks.shape == (2, 64, 64)
+    assert res.pred_masks.shape == (2, 1, 64, 64)

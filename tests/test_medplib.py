@@ -106,7 +106,8 @@ def test_generate_shapes_and_seg_capture(tiny_model):
     res = medplib.generate(params, cfg, batch, max_new_tokens=5)
     B = batch.input_ids.shape[0]
     assert res.output_ids.shape == (B, 5)
-    assert res.pred_masks.shape == (B, cfg.sam.image_size, cfg.sam.image_size)
+    assert res.pred_masks.shape == (B, 1, cfg.sam.image_size,
+                                    cfg.sam.image_size)
     # SEG token present in the prompt -> has_seg must be True
     assert bool(res.has_seg.all())
     assert np.isfinite(np.asarray(res.pred_masks)).all()

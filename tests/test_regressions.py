@@ -57,7 +57,7 @@ def test_generated_seg_capture_matches_full_forward():
                                      batch.images_sam, cfg2.sam)
     want, _ = medplib.decode_seg_masks(params, cfg2, sam_emb, seg_emb,
                                        cfg2.sam.image_size)
-    np.testing.assert_allclose(np.asarray(res2.pred_masks),
+    np.testing.assert_allclose(np.asarray(res2.pred_masks[:, 0]),
                                np.asarray(want[:, 0]), atol=2e-3)
 
 
@@ -153,8 +153,8 @@ def test_streaming_decode_matches_generate():
     streamed = np.concatenate(toks, axis=1)
     np.testing.assert_array_equal(streamed, np.asarray(base.output_ids))
 
-    masks, has_seg = medplib.stream_ground(params, cfg, batch, state)
-    np.testing.assert_array_equal(np.asarray(has_seg),
+    masks, seg_valid = medplib.stream_ground(params, cfg, batch, state)
+    np.testing.assert_array_equal(np.asarray(seg_valid[:, 0]),
                                   np.asarray(base.has_seg))
     np.testing.assert_allclose(np.asarray(masks),
                                np.asarray(base.pred_masks), atol=2e-3)

@@ -131,6 +131,28 @@ def test_worker_generate_stream_end_to_end():
             f"http://127.0.0.1:{port}/worker_get_status", json={}).json()
         assert status["model_names"] == ["medplib-tpu"]
         assert status["queue_length"] == 0
+
+        # temperature < 1e-4 routes to greedy (model_worker.py:420-425):
+        # two identical requests must stream identical text
+        greedy_payload = dict(payload, temperature=0.0)
+        t1 = list(protocol.stream_chunks(requests.post(
+            f"http://127.0.0.1:{port}/worker_generate_stream",
+            json=greedy_payload, timeout=600).content))[-1]["text"]
+        t2 = list(protocol.stream_chunks(requests.post(
+            f"http://127.0.0.1:{port}/worker_generate_stream",
+            json=greedy_payload, timeout=600).content))[-1]["text"]
+        assert t1 == t2 and t1
+
+        # sampled request with a seed is honored and reproducible
+        samp = dict(payload, temperature=0.8, top_p=0.9, seed=11)
+        s1 = list(protocol.stream_chunks(requests.post(
+            f"http://127.0.0.1:{port}/worker_generate_stream",
+            json=samp, timeout=600).content))[-1]
+        assert s1["error_code"] == 0 and s1["text"]
+        s2 = list(protocol.stream_chunks(requests.post(
+            f"http://127.0.0.1:{port}/worker_generate_stream",
+            json=samp, timeout=600).content))[-1]
+        assert s1["text"] == s2["text"]
     finally:
         httpd.shutdown()
 
