@@ -60,6 +60,21 @@ def init_moe_llama(key, cfg: LlamaConfig, moe_cfg: MoeConfig,
         "router": {"kernel": routers},
         "experts": experts,
     }
+    if moe_cfg.use_residual:
+        # Residual-MoE (deepspeed MoE(use_residual=True),
+        # medplib_moe_llama.py:60, 613): dense SwiGLU copy + learned 2-way
+        # mixing coefficient. Seeded from the pre-conversion dense MLP like
+        # deepspeed's copy.deepcopy(expert).
+        # jnp.copy: distinct buffers so trainer donation never aliases the
+        # dense stack with the residual copy
+        params["layers"]["moe"]["residual_mlp"] = jax.tree_util.tree_map(
+            jnp.copy, params["layers"]["mlp"])
+        k3 = jax.random.fold_in(k2, 1)
+        params["layers"]["moe"]["coefficient"] = {
+            "kernel": (jax.random.normal(k3, (L, h, 2)) * h ** -0.5
+                       ).astype(dtype),
+            "bias": jnp.zeros((L, 2), dtype),
+        }
     return params
 
 

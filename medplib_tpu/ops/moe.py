@@ -241,4 +241,20 @@ def moe_mlp(
             contrib.astype(x.dtype))
     else:
         y = jnp.einsum("sec,ech->sh", g.combine.astype(x.dtype), out_e)
+
+    if "residual_mlp" in moe_params:
+        # Residual-MoE (deepspeed MoE(use_residual=True), wired at
+        # medplib_moe_llama.py:60, 613): a dense SwiGLU MLP runs in parallel
+        # with the experts and the two outputs are mixed by a learned 2-way
+        # softmax coefficient of the input token.
+        rk = moe_params["residual_mlp"]
+        r1 = xs @ dequant_kernel(rk["gate_proj"], x.dtype)
+        r2 = xs @ dequant_kernel(rk["up_proj"], x.dtype)
+        r_out = (jax.nn.silu(r1) * r2) @ dequant_kernel(rk["down_proj"],
+                                                        x.dtype)
+        ck = moe_params["coefficient"]
+        coef = xs.astype(jnp.float32) @ ck["kernel"].astype(jnp.float32)
+        coef = jax.nn.softmax(coef + ck["bias"].astype(jnp.float32), axis=-1)
+        coef = coef.astype(x.dtype)
+        y = y * coef[:, 0:1] + r_out * coef[:, 1:2]
     return y.reshape(b, t, h), aux

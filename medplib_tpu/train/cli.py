@@ -36,6 +36,10 @@ def build_argparser():
     ap.add_argument("--eval-capacity-factor", type=float, default=2.0)
     ap.add_argument("--min-capacity", type=int, default=0)
     ap.add_argument("--moe-mode", default="dense")
+    ap.add_argument("--use-residual", action="store_true",
+                    help="Residual-MoE: dense MLP in parallel with experts, "
+                         "learned 2-way mix (deepspeed use_residual, "
+                         "medplib_moe_llama.py:613)")
     ap.add_argument("--router-aux-loss-coef", type=float, default=0.01)
     ap.add_argument("--expert-pretrained-path", default=None,
                     help="comma-separated donor checkpoint dirs (stage 4)")
@@ -108,6 +112,7 @@ def main(argv=None):
         top_k=args.top_k_experts, capacity_factor=args.capacity_factor,
         eval_capacity_factor=args.eval_capacity_factor,
         min_capacity=args.min_capacity, moe_mode=args.moe_mode,
+        use_residual=args.use_residual,
         router_aux_loss_coef=args.router_aux_loss_coef)
     seg_cfg = SegConfig(
         enable=not args.no_seg, ce_loss_weight=args.ce_loss_weight,
@@ -262,6 +267,15 @@ def _seed_experts_from_donors(args, cfg, params):
                 "bias": to_np(sd["model.region_fea_adapter.bias"])}
     params["llm"]["layers"]["moe"]["experts"] = build_experts_from_donors(
         donor_mlps)
+    if cfg.moe.use_residual and \
+            "residual_mlp" in params["llm"]["layers"]["moe"]:
+        # deepspeed seeds the residual dense copy from the wrapped layer's
+        # pre-conversion MLP (the loaded base weights), not randomly
+        import jax as _jax
+        import numpy as _np
+        params["llm"]["layers"]["moe"]["residual_mlp"] = \
+            _jax.tree_util.tree_map(lambda x: _np.array(x, copy=True),
+                                    params["llm"]["layers"]["mlp"])
     return params
 
 

@@ -133,6 +133,33 @@ def moe_llama_from_hf(sd: Mapping[str, Any], cfg: LlamaConfig,
             "down_proj": {"kernel": np.stack(dk)},
         },
     }
+
+    # Residual-MoE (deepspeed MoE(use_residual=True)): the dense copy is
+    # `layers.{i}.mlp.mlp.*`, the mixing head `layers.{i}.mlp.coefficient.*`.
+    res_probe = prefix + "layers.{i}.mlp.mlp.gate_proj.weight"
+    if any(res_probe.format(i=i) in sd for i in moe_set):
+        rgk, ruk, rdk, ck, cb = [], [], [], [], []
+        for i in range(cfg.num_layers):
+            rb = prefix + f"layers.{i}.mlp."
+            if i in moe_set and rb + "mlp.gate_proj.weight" in sd:
+                rgk.append(to_np(sd[rb + "mlp.gate_proj.weight"]).T)
+                ruk.append(to_np(sd[rb + "mlp.up_proj.weight"]).T)
+                rdk.append(to_np(sd[rb + "mlp.down_proj.weight"]).T)
+                ck.append(to_np(sd[rb + "coefficient.weight"]).T)
+                cb.append(to_np(sd[rb + "coefficient.bias"]))
+            else:
+                rgk.append(np.zeros((h, m), np.float32))
+                ruk.append(np.zeros((h, m), np.float32))
+                rdk.append(np.zeros((m, h), np.float32))
+                ck.append(np.zeros((h, 2), np.float32))
+                cb.append(np.zeros((2,), np.float32))
+        params["layers"]["moe"]["residual_mlp"] = {
+            "gate_proj": {"kernel": np.stack(rgk)},
+            "up_proj": {"kernel": np.stack(ruk)},
+            "down_proj": {"kernel": np.stack(rdk)},
+        }
+        params["layers"]["moe"]["coefficient"] = {
+            "kernel": np.stack(ck), "bias": np.stack(cb)}
     return params
 
 

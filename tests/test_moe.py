@@ -171,3 +171,138 @@ def test_moe_ep_sharding_matches_unsharded():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
                                atol=1e-5)
     np.testing.assert_allclose(float(aux_g), float(aux_w), rtol=1e-5)
+
+
+def test_residual_moe_matches_reference_mix():
+    """use_residual (deepspeed MoE(use_residual=True),
+    medplib_moe_llama.py:613): output = moe_out * coef[...,0] +
+    dense_mlp(x) * coef[...,1] with coef = softmax(Linear(x)) — verified
+    against a straight-line recomputation from the same weights."""
+    rng = np.random.default_rng(7)
+    h, m, e = 16, 32, 2
+    x = jnp.asarray(rng.normal(size=(2, 5, h)).astype(np.float32))
+
+    def lin(shape):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32) * 0.1)
+
+    base_params = {
+        "router": {"kernel": lin((h, e))},
+        "experts": {
+            "gate_proj": {"kernel": lin((e, h, m))},
+            "up_proj": {"kernel": lin((e, h, m))},
+            "down_proj": {"kernel": lin((e, m, h))},
+        },
+    }
+    res_params = dict(base_params)
+    res_params["residual_mlp"] = {
+        "gate_proj": {"kernel": lin((h, m))},
+        "up_proj": {"kernel": lin((h, m))},
+        "down_proj": {"kernel": lin((m, h))},
+    }
+    res_params["coefficient"] = {"kernel": lin((h, 2)),
+                                 "bias": lin((2,))}
+    mcfg = MoeConfig(enable=True, num_experts=e, top_k=1,
+                     capacity_factor=4.0, use_residual=True)
+    got, aux = moe_ops.moe_mlp(res_params, x, mcfg)
+    moe_out, aux2 = moe_ops.moe_mlp(base_params, x, mcfg)
+    np.testing.assert_allclose(float(aux), float(aux2), rtol=1e-6)
+
+    xs = np.asarray(x)
+    rk = res_params["residual_mlp"]
+    r1 = xs @ np.asarray(rk["gate_proj"]["kernel"])
+    r2 = xs @ np.asarray(rk["up_proj"]["kernel"])
+    silu = r1 / (1 + np.exp(-r1)) * r2
+    dense_out = silu @ np.asarray(rk["down_proj"]["kernel"])
+    logits = xs @ np.asarray(res_params["coefficient"]["kernel"]) + \
+        np.asarray(res_params["coefficient"]["bias"])
+    expc = np.exp(logits - logits.max(-1, keepdims=True))
+    coef = expc / expc.sum(-1, keepdims=True)
+    want = np.asarray(moe_out) * coef[..., 0:1] + dense_out * coef[..., 1:2]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_residual_moe_llama_end_to_end():
+    """init_moe_llama(use_residual=True) creates the residual params (seeded
+    from the dense MLP, like deepspeed's deepcopy) and forward/decode run;
+    zeroing the coefficient makes residual weightless-neutral (softmax ->
+    0.5/0.5 mix, differs from non-residual output)."""
+    cfg = LlamaConfig.tiny()
+    mcfg = MoeConfig(enable=True, num_experts=2, top_k=1,
+                     capacity_factor=4.0, use_residual=True)
+    params = moe_llama.init_moe_llama(jax.random.PRNGKey(0), cfg, mcfg)
+    moe_p = params["layers"]["moe"]
+    assert "residual_mlp" in moe_p and "coefficient" in moe_p
+    np.testing.assert_allclose(
+        np.asarray(moe_p["residual_mlp"]["gate_proj"]["kernel"]),
+        np.asarray(params["layers"]["mlp"]["gate_proj"]["kernel"]))
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 6, cfg.hidden_size))
+                    .astype(np.float32))
+    hidden, _, aux = moe_llama.forward(params, cfg, mcfg, x, train=False)
+    assert np.isfinite(np.asarray(hidden)).all()
+
+    # without the residual params the output must differ (the mix is real)
+    import copy
+    plain = copy.copy(params)
+    plain["layers"] = dict(params["layers"])
+    plain["layers"]["moe"] = {k: v for k, v in moe_p.items()
+                              if k in ("router", "experts")}
+    hidden2, _, _ = moe_llama.forward(plain, cfg, mcfg, x, train=False)
+    assert not np.allclose(np.asarray(hidden), np.asarray(hidden2))
+
+
+def test_moe_from_hf_residual_translation():
+    """moe_llama_from_hf picks up deepspeed residual keys
+    (layers.{i}.mlp.mlp.* and layers.{i}.mlp.coefficient.*)."""
+    from medplib_tpu.utils.hf_weights import moe_llama_from_hf
+    cfg = LlamaConfig.tiny()
+    rng = np.random.default_rng(1)
+    h, m, e, L = (cfg.hidden_size, cfg.intermediate_size, 2, cfg.num_layers)
+    sd = {}
+    sd["model.embed_tokens.weight"] = rng.normal(
+        size=(cfg.vocab_size, h)).astype(np.float32)
+    sd["model.norm.weight"] = np.ones(h, np.float32)
+    sd["lm_head.weight"] = rng.normal(size=(cfg.vocab_size, h)
+                                      ).astype(np.float32)
+    for i in range(L):
+        p = f"model.layers.{i}."
+        sd[p + "input_layernorm.weight"] = np.ones(h, np.float32)
+        sd[p + "post_attention_layernorm.weight"] = np.ones(h, np.float32)
+        for n, shape in (("q_proj", (h, h)), ("k_proj", (h, h)),
+                         ("v_proj", (h, h)), ("o_proj", (h, h))):
+            sd[p + f"self_attn.{n}.weight"] = rng.normal(
+                size=shape).astype(np.float32)
+        sd[p + "mlp.deepspeed_moe.gate.wg.weight"] = rng.normal(
+            size=(e, h)).astype(np.float32)
+        for ex in range(e):
+            for n, shape in (("gate_proj", (m, h)), ("up_proj", (m, h)),
+                             ("down_proj", (h, m))):
+                sd[p + f"mlp.deepspeed_moe.experts.deepspeed_experts."
+                       f"{ex}.{n}.weight"] = rng.normal(
+                    size=shape).astype(np.float32)
+        for n, shape in (("gate_proj", (m, h)), ("up_proj", (m, h)),
+                         ("down_proj", (h, m))):
+            sd[p + f"mlp.mlp.{n}.weight"] = rng.normal(
+                size=shape).astype(np.float32)
+        sd[p + "mlp.coefficient.weight"] = rng.normal(
+            size=(2, h)).astype(np.float32)
+        sd[p + "mlp.coefficient.bias"] = rng.normal(size=(2,)
+                                                    ).astype(np.float32)
+    tree = moe_llama_from_hf(sd, cfg, moe_layer_indices=range(L),
+                             num_experts=e)
+    moe_p = tree["layers"]["moe"]
+    assert moe_p["residual_mlp"]["gate_proj"]["kernel"].shape == (L, h, m)
+    assert moe_p["coefficient"]["kernel"].shape == (L, h, 2)
+    np.testing.assert_allclose(
+        moe_p["coefficient"]["kernel"][0],
+        sd["model.layers.0.mlp.coefficient.weight"].T)
+    np.testing.assert_allclose(
+        moe_p["residual_mlp"]["down_proj"]["kernel"][1],
+        sd["model.layers.1.mlp.mlp.down_proj.weight"].T)
+    # forward runs with the translated tree
+    mcfg = MoeConfig(enable=True, num_experts=e, top_k=1,
+                     capacity_factor=4.0, use_residual=True)
+    x = jnp.asarray(rng.normal(size=(1, 4, h)).astype(np.float32))
+    hidden, _, _ = moe_llama.forward(tree, cfg, mcfg, x, train=False)
+    assert np.isfinite(np.asarray(hidden)).all()
