@@ -73,6 +73,8 @@ def load_reference_checkpoint(
     clip_dir: Optional[str] = None,
     moe: bool = True,
     num_experts: int = 2,
+    cfg=None,
+    state_dict: Optional[dict] = None,
 ):
     """Released-checkpoint loader: MedPLIB merged HF dir (LLM + projector +
     text_hidden_fcs + region adapter + SAM copy) -> medplib_tpu tree.
@@ -84,11 +86,14 @@ def load_reference_checkpoint(
     from medplib_tpu.config import MedplibConfig, MoeConfig
     from medplib_tpu.utils import hf_weights as hw
 
-    sd = load_hf_torch_dir(hf_dir)
-    cfg = MedplibConfig(
-        moe=MoeConfig(enable=moe, num_experts=num_experts, top_k=1,
-                      capacity_factor=1.5, eval_capacity_factor=2.0,
-                      moe_mode="dense"))
+    sd = load_hf_torch_dir(hf_dir) if state_dict is None else state_dict
+    if cfg is None:
+        cfg = MedplibConfig(
+            moe=MoeConfig(enable=moe, num_experts=num_experts, top_k=1,
+                          capacity_factor=1.5, eval_capacity_factor=2.0,
+                          moe_mode="dense"))
+    else:
+        moe, num_experts = cfg.moe.enable, cfg.moe.num_experts
 
     if moe:
         llm = hw.moe_llama_from_hf(
@@ -246,6 +251,13 @@ def main():
     t.add_argument("--clip-dir")
     t.add_argument("--dense", action="store_true")
     t.add_argument("--out-path", required=True)
+    h = sub.add_parser(
+        "to-hf", help="re-export a tree as a merged HF safetensors dir "
+        "(inverse of from-reference; reference merge-tool layout)")
+    h.add_argument("--in-path", required=True)
+    h.add_argument("--config", required=True,
+                   help="config json (written by from-reference / train)")
+    h.add_argument("--out-dir", required=True)
     args = ap.parse_args()
 
     from medplib_tpu.utils.checkpoint import load_params, save_params
@@ -262,6 +274,14 @@ def main():
         from medplib_tpu.config import to_json
         with open(args.out_path + ".config.json", "w") as f:
             f.write(to_json(cfg))
+    elif args.cmd == "to-hf":
+        from medplib_tpu.config import from_json
+        from medplib_tpu.utils.hf_export import medplib_to_hf, save_hf_dir
+        with open(args.config) as f:
+            cfg = from_json(f.read())
+        sd = medplib_to_hf(load_params(args.in_path), cfg)
+        with open(args.config) as f:
+            save_hf_dir(sd, args.out_dir, config_json=f.read())
 
 
 if __name__ == "__main__":
