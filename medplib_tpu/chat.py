@@ -30,6 +30,12 @@ def build_argparser():
                     choices=["v1", "llava_v1", "llava_llama_2"])
     ap.add_argument("--precision", default="bf16",
                     choices=["bf16", "fp32"])
+    ap.add_argument("--load-in-8bit", action="store_true",
+                    help="weight-only int8 (chat.py:103-112 analog; "
+                         "visual modules skipped like llm_int8_skip_modules)")
+    ap.add_argument("--load-in-4bit", action="store_true",
+                    help="weight-only int4, blockwise nibble-packed "
+                         "(chat.py:89-102 / bnb nf4 analog)")
     ap.add_argument("--moe", action="store_true",
                     help="MoE checkpoint (MedPLIB-7b-2e layout)")
     ap.add_argument("--vis-save-path", default="./vis_output")
@@ -83,6 +89,9 @@ def main(argv=None):
         params = load_params(args.checkpoint)
     if args.precision == "bf16":
         params = cast_tree(params, jnp.bfloat16)
+    if args.load_in_4bit or args.load_in_8bit:
+        from medplib_tpu.utils.quantize import quantize_tree
+        params = quantize_tree(params, bits=4 if args.load_in_4bit else 8)
 
     cc = CollatorConfig(max_seq_len=512,
                         image_tokens=medplib.image_tokens_per_image(cfg),

@@ -34,10 +34,26 @@ class Conversation:
 
     def get_prompt(self) -> str:
         messages = self.messages
+        # Image-attachment form: the first message may be a tuple
+        # (text, image, process_mode) as sent by the web UI. mmtag versions
+        # announce the image as its own <Image>..</Image> round; others
+        # prepend "<image>\n" (reference conversation.py:31-43).
+        if messages and isinstance(messages[0][1], tuple):
+            messages = [list(m) for m in messages]
+            init_role, init_msg = messages[0]
+            init_msg = init_msg[0].replace("<image>", "").strip()
+            if "mmtag" in self.version:
+                messages[0] = [init_role, init_msg]
+                messages.insert(0, [self.roles[0], "<Image><image></Image>"])
+                messages.insert(1, [self.roles[1], "Received."])
+            else:
+                messages[0] = [init_role, "<image>\n" + init_msg]
         if self.sep_style == SeparatorStyle.SINGLE:
             ret = self.system + self.sep
             for role, message in messages:
                 if message:
+                    if isinstance(message, tuple):
+                        message = message[0]
                     ret += role + ": " + message + self.sep
                 else:
                     ret += role + ":"
@@ -47,6 +63,8 @@ class Conversation:
             ret = self.system + seps[0]
             for i, (role, message) in enumerate(messages):
                 if message:
+                    if isinstance(message, tuple):
+                        message = message[0]
                     ret += role + ": " + message + seps[i % 2]
                 else:
                     ret += role + ":"
@@ -175,6 +193,25 @@ conv_llava_v1 = Conversation(
     roles=("USER", "ASSISTANT"), version="v1", messages=[], offset=0,
     sep_style=SeparatorStyle.TWO, sep=" ", sep2="</s>")
 
+# mmtag variants: identical separator schemes but the image arrives as its
+# own <Image>visual content</Image> round (reference conversation.py:343-378)
+_MMTAG_SYSTEM = (
+    "A chat between a curious user and an artificial intelligence assistant. "
+    "The assistant is able to understand the visual content that the user "
+    "provides, and assist the user with a variety of tasks using natural "
+    "language."
+    "The visual content will be provided with the following format: "
+    "<Image>visual content</Image>.")
+
+conv_llava_v0_mmtag = Conversation(
+    system=_MMTAG_SYSTEM, roles=("Human", "Assistant"), messages=[],
+    offset=0, sep_style=SeparatorStyle.SINGLE, sep="###", version="v0_mmtag")
+
+conv_llava_v1_mmtag = Conversation(
+    system=_MMTAG_SYSTEM, roles=("USER", "ASSISTANT"), messages=[],
+    offset=0, sep_style=SeparatorStyle.TWO, sep=" ", sep2="</s>",
+    version="v1_mmtag")
+
 conv_mpt = Conversation(
     system="<|im_start|>system\nA conversation between a user and an LLM-based "
     "AI assistant. The assistant gives helpful and honest answers.",
@@ -191,7 +228,9 @@ conv_templates = {
     "plain": conv_llava_plain,
     "v0_plain": conv_llava_plain,
     "llava_v0": conv_llava_v0,
+    "v0_mmtag": conv_llava_v0_mmtag,
     "llava_v1": conv_llava_v1,
+    "v1_mmtag": conv_llava_v1_mmtag,
     "llava_llama_2": conv_llava_llama_2,
     "mpt": conv_mpt,
 }

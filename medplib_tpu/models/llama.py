@@ -106,7 +106,7 @@ def dense_mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """SwiGLU: down(silu(gate(x)) * up(x)). LoRA-aware linears."""
     if "gateup_proj" in p:  # inference-packed (pack_inference)
         gp = p["gateup_proj"]
-        if gp["kernel"].dtype == jnp.int8:
+        if "scale" in gp and gp["kernel"].dtype == jnp.int8:
             # Pallas int8 matmul: XLA materializes a bf16 copy of the wide
             # dequantized kernel otherwise (ops/pallas/int8_matmul.py)
             from medplib_tpu.ops.pallas.int8_matmul import int8_matmul
@@ -130,7 +130,7 @@ def _qkv(p: Params, x: jnp.ndarray, cfg: LlamaConfig, cos, sin):
     b, t, _ = x.shape
     if "qkv_proj" in p:  # inference-packed: one wide matmul (pack_inference)
         qp = p["qkv_proj"]
-        if qp["kernel"].dtype == jnp.int8:
+        if "scale" in qp and qp["kernel"].dtype == jnp.int8:
             from medplib_tpu.ops.pallas.int8_matmul import int8_matmul_t
             qkv = int8_matmul_t(x, qp["kernel"], qp["scale"])
         else:
@@ -344,7 +344,7 @@ def pack_inference(llm_params: Params) -> Params:
         for name in ("q_proj", "k_proj", "v_proj"):
             if "lora_a" in attn[name]:
                 raise ValueError("merge LoRA before pack_inference")
-            if "scale" in attn[name]:
+            if "scale" in attn[name] or "scale4" in attn[name]:
                 raise ValueError("pack_inference must run BEFORE "
                                  "quantize_tree (per-channel scales can't "
                                  "be concatenated post hoc)")
@@ -359,6 +359,9 @@ def pack_inference(llm_params: Params) -> Params:
     if mlp is not None and "gate_proj" in mlp:
         if "lora_a" in mlp["gate_proj"] or "lora_a" in mlp["up_proj"]:
             raise ValueError("merge LoRA before pack_inference")
+        if any(s in mlp[n] for s in ("scale", "scale4")
+               for n in ("gate_proj", "up_proj")):
+            raise ValueError("pack_inference must run BEFORE quantize_tree")
         kg = mlp.pop("gate_proj")["kernel"]
         ku = mlp.pop("up_proj")["kernel"]
         mlp["gateup_proj"] = {"kernel": _packed_concat2(kg, ku,

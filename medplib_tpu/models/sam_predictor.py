@@ -94,24 +94,88 @@ class SamPredictor:
         return np.stack(out), np.asarray(iou[0]), np.asarray(low_res[0])
 
 
-def _mask_iou_matrix(masks: np.ndarray) -> np.ndarray:
-    flat = masks.reshape(masks.shape[0], -1).astype(np.float64)
-    inter = flat @ flat.T
-    area = flat.sum(-1)
-    union = area[:, None] + area[None] - inter
+def calculate_stability_score(mask_logits: np.ndarray,
+                              mask_threshold: float = 0.0,
+                              offset: float = 1.0) -> np.ndarray:
+    """IoU between the binarizations at (thresh+offset) and (thresh-offset)
+    (utils/amg.py:156-178): high means the mask is insensitive to the
+    cutoff. mask_logits: [N, H, W] float."""
+    inter = (mask_logits > (mask_threshold + offset)).reshape(
+        mask_logits.shape[0], -1).sum(-1).astype(np.float64)
+    union = (mask_logits > (mask_threshold - offset)).reshape(
+        mask_logits.shape[0], -1).sum(-1).astype(np.float64)
     return inter / np.maximum(union, 1)
 
 
-def generate_masks(predictor: SamPredictor, image_rgb: np.ndarray,
-                   points_per_side: int = 16, pred_iou_thresh: float = 0.88,
-                   nms_iou_thresh: float = 0.7,
-                   min_area: int = 16) -> List[Dict]:
-    """Automatic mask generation: uniform point grid -> batched single-point
-    decode -> IoU filter -> greedy mask-NMS (automatic_mask_generator.py
-    semantics, without crop pyramids)."""
+def _mask_to_box(masks: np.ndarray) -> np.ndarray:
+    """[N, H, W] bool -> XYXY boxes [N, 4] (utils/amg.py batched_mask_to_box
+    semantics; empty masks -> zero box)."""
+    n, h, w = masks.shape
+    boxes = np.zeros((n, 4), np.float32)
+    for i in range(n):
+        ys, xs = np.nonzero(masks[i])
+        if len(ys):
+            boxes[i] = (xs.min(), ys.min(), xs.max() + 1, ys.max() + 1)
+    return boxes
+
+
+def _box_nms(boxes: np.ndarray, scores: np.ndarray,
+             iou_thresh: float) -> List[int]:
+    """Greedy XYXY box NMS (torchvision.ops.nms semantics used by the
+    reference's batched_nms)."""
+    order = np.argsort(-scores)
+    areas = np.maximum(boxes[:, 2] - boxes[:, 0], 0) * \
+        np.maximum(boxes[:, 3] - boxes[:, 1], 0)
+    keep: List[int] = []
+    for i in order:
+        ok = True
+        for j in keep:
+            x0 = max(boxes[i, 0], boxes[j, 0])
+            y0 = max(boxes[i, 1], boxes[j, 1])
+            x1 = min(boxes[i, 2], boxes[j, 2])
+            y1 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(x1 - x0, 0) * max(y1 - y0, 0)
+            union = areas[i] + areas[j] - inter
+            if union > 0 and inter / union >= iou_thresh:
+                ok = False
+                break
+        if ok:
+            keep.append(int(i))
+    return keep
+
+
+def _crop_boxes(h: int, w: int, n_layers: int,
+                overlap_ratio: float) -> List[Tuple[int, int, int, int, int]]:
+    """Crop pyramid (utils/amg.py generate_crop_boxes): layer 0 is the full
+    image; layer i has (2^i)^2 overlapping crops."""
+    import math
+    boxes = [(0, 0, w, h, 0)]
+    short = min(h, w)
+    for layer in range(1, n_layers + 1):
+        n = 2 ** layer
+        overlap = int(overlap_ratio * short * (2 / n))
+        cw = int(math.ceil((overlap * (n - 1) + w) / n))
+        ch = int(math.ceil((overlap * (n - 1) + h) / n))
+        for yi in range(n):
+            for xi in range(n):
+                x0 = int((cw - overlap) * xi)
+                y0 = int((ch - overlap) * yi)
+                boxes.append((x0, y0, min(x0 + cw, w), min(y0 + ch, h),
+                              layer))
+    return boxes
+
+
+def _process_crop(predictor: SamPredictor, crop_img: np.ndarray,
+                  points_per_side: int, pred_iou_thresh: float,
+                  stability_score_thresh: float,
+                  stability_score_offset: float, box_nms_thresh: float,
+                  min_area: int) -> List[Dict]:
+    """Grid-prompt one image (or crop): batched single-point decode ->
+    predicted-IoU filter -> stability filter -> binarize -> box NMS.
+    Returns records with crop-frame masks/boxes."""
     cfg = predictor.cfg
-    predictor.set_image(image_rgb)
-    h, w = image_rgb.shape[:2]
+    predictor.set_image(crop_img)
+    h, w = crop_img.shape[:2]
     xs = (np.arange(points_per_side) + 0.5) / points_per_side * w
     ys = (np.arange(points_per_side) + 0.5) / points_per_side * h
     grid = np.stack(np.meshgrid(xs, ys), -1).reshape(-1, 2)  # [P, 2] (x,y)
@@ -124,32 +188,88 @@ def generate_masks(predictor: SamPredictor, image_rgb: np.ndarray,
     feats = jnp.repeat(predictor.features, grid.shape[0], axis=0)
     masks, ious, _ = predictor._decode(predictor.params, feats, sparse,
                                        dense, True)
-    masks = np.asarray(masks)   # [P, 3, S, S]
+    masks = np.asarray(masks)   # [P, 3, S, S] logits
     ious = np.asarray(ious)     # [P, 3]
 
     flat_masks = masks.reshape(-1, masks.shape[-2], masks.shape[-1])
     flat_iou = ious.reshape(-1)
     keep = flat_iou > pred_iou_thresh
     flat_masks, flat_iou = flat_masks[keep], flat_iou[keep]
-    binary = flat_masks > 0
+    if len(flat_masks) == 0:
+        return []
+    # stability filter on the mask logits (automatic_mask_generator.py:
+    # stability_score_thresh path, utils/amg.py:156-178)
+    stability = calculate_stability_score(flat_masks,
+                                          offset=stability_score_offset)
+    keep = stability >= stability_score_thresh
+    flat_masks, flat_iou, stability = (flat_masks[keep], flat_iou[keep],
+                                       stability[keep])
+    if len(flat_masks) == 0:
+        return []
+    binary = np.stack([
+        pp.unpad_and_resize_mask(m, predictor.resize_hw,
+                                 predictor.original_hw) > 0
+        for m in flat_masks])
     areas = binary.reshape(binary.shape[0], -1).sum(-1)
     big = areas >= min_area
-    binary, flat_iou, areas = binary[big], flat_iou[big], areas[big]
+    binary, flat_iou, stability = binary[big], flat_iou[big], stability[big]
     if len(binary) == 0:
         return []
+    boxes = _mask_to_box(binary)
+    sel = _box_nms(boxes, flat_iou, box_nms_thresh)
+    return [{"segmentation": binary[i], "bbox": boxes[i],
+             "predicted_iou": float(flat_iou[i]),
+             "stability_score": float(stability[i]),
+             "area": int(binary[i].sum())} for i in sel]
 
-    order = np.argsort(-flat_iou)
-    iou_mat = _mask_iou_matrix(binary)
-    selected = []
-    for i in order:
-        if all(iou_mat[i, j] < nms_iou_thresh for j in selected):
-            selected.append(i)
-    out = []
-    for i in selected:
-        full = pp.unpad_and_resize_mask(
-            binary[i].astype(np.float32), predictor.resize_hw,
-            predictor.original_hw) > 0.5
-        out.append({"segmentation": full,
-                    "predicted_iou": float(flat_iou[i]),
-                    "area": int(full.sum())})
-    return out
+
+def generate_masks(predictor: SamPredictor, image_rgb: np.ndarray,
+                   points_per_side: int = 16, pred_iou_thresh: float = 0.88,
+                   stability_score_thresh: float = 0.95,
+                   stability_score_offset: float = 1.0,
+                   box_nms_thresh: float = 0.7,
+                   nms_iou_thresh: Optional[float] = None,
+                   min_area: int = 16, crop_n_layers: int = 0,
+                   crop_overlap_ratio: float = 512 / 1500,
+                   crop_n_points_downscale_factor: int = 1) -> List[Dict]:
+    """Automatic mask generation (automatic_mask_generator.py semantics):
+    optional crop pyramid -> per-crop point grid -> batched single-point
+    decode -> predicted-IoU + stability-score filters -> per-crop box NMS
+    -> cross-crop NMS preferring smaller crops. All grid points of a crop
+    decode in ONE mask-decoder call (the reference loops points_per_batch
+    chunks)."""
+    h, w = image_rgb.shape[:2]
+    crops = _crop_boxes(h, w, crop_n_layers, crop_overlap_ratio)
+    records: List[Dict] = []
+    for (x0, y0, x1, y1, layer) in crops:
+        pps = max(1, points_per_side //
+                  (crop_n_points_downscale_factor ** layer))
+        crop_img = image_rgb[y0:y1, x0:x1]
+        recs = _process_crop(
+            predictor, crop_img, pps, pred_iou_thresh,
+            stability_score_thresh, stability_score_offset,
+            nms_iou_thresh if nms_iou_thresh is not None else box_nms_thresh,
+            min_area)
+        for r in recs:
+            # paste crop-frame mask back into the full image frame
+            if (x0, y0, x1, y1) != (0, 0, w, h):
+                full = np.zeros((h, w), bool)
+                full[y0:y1, x0:x1] = r["segmentation"]
+                r["segmentation"] = full
+                r["bbox"] = r["bbox"] + np.array([x0, y0, x0, y0],
+                                                 np.float32)
+            r["crop_box"] = (x0, y0, x1, y1)
+            # cross-crop dedup prefers masks from smaller crops
+            # (amg: scores = 1 / box_area(crop_boxes))
+            r["_crop_score"] = 1.0 / max((x1 - x0) * (y1 - y0), 1)
+        records.extend(recs)
+    if not records:
+        return []
+    if crop_n_layers > 0 and len(records) > 1:
+        boxes = np.stack([r["bbox"] for r in records])
+        scores = np.array([r["_crop_score"] for r in records])
+        keep = _box_nms(boxes, scores, box_nms_thresh)
+        records = [records[i] for i in keep]
+    for r in records:
+        r.pop("_crop_score", None)
+    return records

@@ -25,14 +25,49 @@ from medplib_tpu.data import preprocess as pp
 from medplib_tpu.models import clip
 
 
+# Encoder registry (image_rag.py:11-16, 92-104): four retrieval encoder
+# types — general CLIP, medical fine-tune, detection fine-tune, mask-aware
+# fine-tune. All are CLIP-vision-family weights; the type selects the
+# default checkpoint. Override the root via MEDPLIB_RAG_ENCODER_ROOT or
+# pass an explicit checkpoint path.
+RAG_ENCODER_DEFAULT_PATHS = {
+    "clip_encoder": "clip-vit-large-patch14-336",
+    "med_encoder": "med_encoder",
+    "det_encoder": "det_encoder",
+    "mask_encoder": "mask_encoder",
+}
+
+
+def make_encoder(encoder_type: str = "clip_encoder",
+                 encoder_path: Optional[str] = None,
+                 cfg: Optional[ClipVisionConfig] = None,
+                 batch_size: int = 16) -> "ImageRagEncoder":
+    """Resolve an encoder type to a loaded ImageRagEncoder
+    (reference ImageRAGEncoder.__init__, image_rag.py:92-115)."""
+    if encoder_type not in RAG_ENCODER_DEFAULT_PATHS:
+        raise ValueError(
+            f"Unsupported RAG encoder type: {encoder_type}. "
+            f"Choose from {list(RAG_ENCODER_DEFAULT_PATHS.keys())}.")
+    if not encoder_path:
+        root = os.environ.get("MEDPLIB_RAG_ENCODER_ROOT", "checkpoints")
+        encoder_path = os.path.join(
+            root, RAG_ENCODER_DEFAULT_PATHS[encoder_type])
+    from medplib_tpu.utils.checkpoint import load_params
+    params = load_params(encoder_path)
+    return ImageRagEncoder(params, cfg or ClipVisionConfig(),
+                           batch_size=batch_size, encoder_type=encoder_type)
+
+
 class ImageRagEncoder:
-    """CLIP vision encoder -> one embedding per image."""
+    """CLIP-family vision encoder -> one embedding per image."""
 
     def __init__(self, clip_params, cfg: ClipVisionConfig,
-                 batch_size: int = 16):
+                 batch_size: int = 16,
+                 encoder_type: str = "clip_encoder"):
         self.params = clip_params
         self.cfg = cfg
         self.batch_size = batch_size
+        self.encoder_type = encoder_type
         self._fwd = jax.jit(self._embed_batch)
 
     def _embed_batch(self, pixels: jnp.ndarray) -> jnp.ndarray:
@@ -59,25 +94,64 @@ class ImageRagEncoder:
         return np.concatenate(out) if out else np.zeros((0, 1))
 
 
+def extract_target_mask(item: Dict) -> Optional[str]:
+    """Mask path priority: target_mask > mask > mask3 > inline <mask> tag
+    (image_rag.py:38-49)."""
+    for key in ("target_mask", "mask", "mask3"):
+        if item.get(key) is not None:
+            return item[key]
+    for turn in item.get("conversations", []):
+        value = str(turn.get("value", ""))
+        start = value.find("<mask>")
+        end = value.find("</mask>")
+        if start >= 0 and end > start:
+            return value[start + len("<mask>"):end]
+    return None
+
+
+def extract_query_image(item: Dict) -> Optional[str]:
+    """'image', else the highest-numbered imageN key (image_rag.py:52-62)."""
+    if item.get("image") is not None:
+        return item["image"]
+    indexed = sorted(
+        int(k.replace("image", "")) for k in item
+        if k.startswith("image") and k.replace("image", "").isdigit())
+    if indexed:
+        return item[f"image{indexed[-1]}"]
+    return None
+
+
 def collect_candidates(candidate_json: str, image_folder: str) -> List[Dict]:
-    """Candidate pool entries: records with 'image' and a '<mask>' target
-    (image_rag.py:64-86)."""
+    """Candidate pool: every (image, mask) pair reachable from a record —
+    the record's own query image+mask, its icl_examples/examples, and any
+    numbered imageN/maskN pairs (image_rag.py:65-87)."""
     with open(candidate_json) as f:
         records = json.load(f)
     out = []
+
+    def resolve(path):
+        if path is None or os.path.isabs(path) or os.path.exists(path):
+            return path
+        return os.path.join(image_folder, path)
+
     for rec in records:
-        if "image" not in rec:
-            continue
-        mask = None
-        for turn in rec.get("conversations", []):
-            import re
-            m = re.search(r"<mask>(.*?)</mask>", str(turn.get("value", "")))
-            if m:
-                mask = m.group(1)
-        path = rec["image"]
-        if not os.path.isabs(path):
-            path = os.path.join(image_folder, path)
-        out.append({"image": path, "mask": mask, "record": rec})
+        image = extract_query_image(rec)
+        mask = extract_target_mask(rec)
+        if image is not None and mask is not None:
+            out.append({"image": resolve(image), "mask": mask,
+                        "record": rec})
+        for ex in rec.get("icl_examples", rec.get("examples", [])):
+            if ex.get("image") is not None and ex.get("mask") is not None:
+                out.append({"image": resolve(ex["image"]),
+                            "mask": ex["mask"], "record": rec})
+        indexed = sorted(
+            int(k.replace("image", "")) for k in rec
+            if k.startswith("image") and k.replace("image", "").isdigit())
+        for idx in indexed:
+            if rec.get(f"image{idx}") is not None and \
+                    rec.get(f"mask{idx}") is not None:
+                out.append({"image": resolve(rec[f"image{idx}"]),
+                            "mask": rec[f"mask{idx}"], "record": rec})
     return out
 
 
@@ -130,20 +204,23 @@ def main():
     b.add_argument("--candidates", required=True)
     b.add_argument("--image-folder", default="")
     b.add_argument("--out-dir", required=True)
-    b.add_argument("--clip-checkpoint", required=True)
+    b.add_argument("--encoder-type", default="clip_encoder",
+                   choices=sorted(RAG_ENCODER_DEFAULT_PATHS))
+    b.add_argument("--clip-checkpoint", default=None,
+                   help="explicit checkpoint; else the encoder type's "
+                   "default path under MEDPLIB_RAG_ENCODER_ROOT")
     a = sub.add_parser("augment")
     a.add_argument("--test-json", required=True)
     a.add_argument("--index-dir", required=True)
     a.add_argument("--out-json", required=True)
     a.add_argument("--image-folder", default="")
     a.add_argument("--top-k", type=int, default=1)
-    a.add_argument("--clip-checkpoint", required=True)
+    a.add_argument("--encoder-type", default="clip_encoder",
+                   choices=sorted(RAG_ENCODER_DEFAULT_PATHS))
+    a.add_argument("--clip-checkpoint", default=None)
     args = ap.parse_args()
 
-    from medplib_tpu.utils.checkpoint import load_params
-    cfg = ClipVisionConfig()
-    params = load_params(args.clip_checkpoint)
-    enc = ImageRagEncoder(params, cfg)
+    enc = make_encoder(args.encoder_type, args.clip_checkpoint)
     if args.cmd == "build":
         print(build_index(args.candidates, args.image_folder, args.out_dir,
                           enc))

@@ -13,8 +13,32 @@ via the controller and proxies /generate to the worker's
 from __future__ import annotations
 
 import argparse
+import datetime
 import json
+import os
+import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+_LOG_LOCK = threading.Lock()
+
+
+def conv_log_filename(log_dir: str) -> str:
+    """Daily conversation log file (gradio_web_server.py:128-131)."""
+    t = datetime.datetime.now()
+    return os.path.join(log_dir,
+                        f"{t.year}-{t.month:02d}-{t.day:02d}-conv.json")
+
+
+def log_conv_event(log_dir: str, event_type: str, model: str, state,
+                   ip: str) -> None:
+    """Append one JSONL row: chat rounds and up/down-vote/flag events
+    (gradio_web_server.py vote_last_response, :188-216)."""
+    os.makedirs(log_dir, exist_ok=True)
+    row = {"tstamp": round(time.time(), 4), "type": event_type,
+           "model": model, "state": state, "ip": ip}
+    with _LOG_LOCK, open(conv_log_filename(log_dir), "a") as f:
+        f.write(json.dumps(row) + "\n")
 
 PAGE = """<!doctype html>
 <html><head><title>MedPLIB-TPU</title><style>
@@ -34,6 +58,9 @@ button{margin:4px 2px;padding:6px 12px}
 <textarea id="prompt" rows="3" style="width:100%"
  placeholder="Ask about the image... use <region></region> for the drawn region, ask to segment for a mask"></textarea>
 <button id="send">send</button>
+<button id="upvote">&#128077; upvote</button>
+<button id="downvote">&#128078; downvote</button>
+<button id="flag">&#9873; flag</button>
 <div id="log"></div></div></div>
 <script>
 const cv=document.getElementById('cv'),ctx=cv.getContext('2d');
@@ -84,15 +111,25 @@ document.getElementById('send').onclick=async()=>{
    h=parseInt(chunk.height);w=parseInt(chunk.width);}
   start=i+1;}}
  document.getElementById('log').textContent=text;
+ lastRound={prompt:body.prompt,text:text};
  if(mask){ctx.drawImage(img,0,0);
   ctx.fillStyle='rgba(255,0,0,0.45)';
   const sx=cv.width/w, sy=cv.height/h;
   for(const [y,x] of mask)ctx.fillRect(x*sx,y*sy,Math.ceil(sx),Math.ceil(sy));}
 };
+let lastRound=null;
+async function vote(t){if(!lastRound)return;
+ await fetch('/vote',{method:'POST',
+  headers:{'Content-Type':'application/json'},
+  body:JSON.stringify({type:t,state:lastRound})});}
+document.getElementById('upvote').onclick=()=>vote('upvote');
+document.getElementById('downvote').onclick=()=>vote('downvote');
+document.getElementById('flag').onclick=()=>vote('flag');
 </script></body></html>"""
 
 
-def make_handler(controller_url: str, model_name: str):
+def make_handler(controller_url: str, model_name: str,
+                 log_dir: str = None):
     import requests
 
     class Handler(BaseHTTPRequestHandler):
@@ -107,13 +144,35 @@ def make_handler(controller_url: str, model_name: str):
             self.end_headers()
             self.wfile.write(body)
 
+        def _json_ok(self, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            payload = json.loads(self.rfile.read(n)) if n else {}
+            if self.path == "/vote":
+                # upvote/downvote/flag on the last response
+                # (gradio_web_server.py:188-216)
+                vt = payload.get("type", "")
+                if vt not in ("upvote", "downvote", "flag"):
+                    self.send_response(400)
+                    self.end_headers()
+                    return
+                if log_dir:
+                    log_conv_event(log_dir, vt, model_name,
+                                   payload.get("state", {}),
+                                   self.client_address[0])
+                self._json_ok({"ok": True})
+                return
             if self.path != "/generate":
                 self.send_response(404)
                 self.end_headers()
                 return
-            n = int(self.headers.get("Content-Length", 0))
-            payload = json.loads(self.rfile.read(n))
             # resolve a worker (gradio_web_server.py:393)
             addr = requests.post(
                 controller_url + "/get_worker_address",
@@ -124,6 +183,18 @@ def make_handler(controller_url: str, model_name: str):
                 return
             r = requests.post(addr + "/worker_generate_stream", json=payload,
                               timeout=600)
+            if log_dir:
+                # last complete chunk carries the final text
+                final = {}
+                for part in r.content.split(b"\0"):
+                    if part.strip():
+                        final = json.loads(part)
+                log_conv_event(
+                    log_dir, "chat", model_name,
+                    {"prompt": payload.get("prompt", ""),
+                     "text": final.get("text", ""),
+                     "has_mask": bool(final.get("mask"))},
+                    self.client_address[0])
             self.send_response(200)
             self.send_header("Content-Type", "application/octet-stream")
             self.send_header("Content-Length", str(len(r.content)))
@@ -134,9 +205,10 @@ def make_handler(controller_url: str, model_name: str):
 
 
 def serve(controller_url: str, model_name: str = "medplib-tpu",
-          host: str = "0.0.0.0", port: int = 7860) -> ThreadingHTTPServer:
-    return ThreadingHTTPServer((host, port),
-                               make_handler(controller_url, model_name))
+          host: str = "0.0.0.0", port: int = 7860,
+          log_dir: str = None) -> ThreadingHTTPServer:
+    return ThreadingHTTPServer(
+        (host, port), make_handler(controller_url, model_name, log_dir))
 
 
 if __name__ == "__main__":
@@ -145,7 +217,10 @@ if __name__ == "__main__":
     ap.add_argument("--model", default="medplib-tpu")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=7860)
+    ap.add_argument("--log-dir", default="serve_logs",
+                    help="conversation/vote JSONL log dir (empty disables)")
     args = ap.parse_args()
-    httpd = serve(args.controller_url, args.model, args.host, args.port)
+    httpd = serve(args.controller_url, args.model, args.host, args.port,
+                  log_dir=args.log_dir or None)
     print(f"web UI on http://{args.host}:{args.port}")
     httpd.serve_forever()

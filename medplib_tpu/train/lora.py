@@ -62,10 +62,35 @@ def inject(key, params: Params, target_modules: Sequence[str], r: int,
 
 
 def dequant_kernel(p: Params, dtype) -> jnp.ndarray:
-    """Weight-only int8 support: {kernel int8, scale} -> dtype kernel.
-    Single home for the dequant pattern (used by linear/linear_t here and
-    ops/moe.moe_mlp); the multiply fuses into the consuming matmul."""
+    """Weight-only int8/int4 support: single home for the dequant pattern
+    (used by linear/linear_t here and ops/moe.moe_mlp); the multiply — and
+    for int4 the two nibble-unpack shifts — fuse into the consuming matmul.
+
+    int8 nodes: {kernel int8, scale f32 per-out-channel}.
+    int4 nodes: {kernel nibble-packed int8, scale4 f32 blockwise} as
+    written by utils/quantize._quantize_kernel4; the position of scale4's
+    size-1 axis says whether the kernel is [in, out] or transposed."""
     kern = p["kernel"]
+    if "scale4" in p:
+        s = p["scale4"]
+        transposed = s.shape[-1] == 1  # else [.., nb, 1, out]
+        axis = kern.ndim - 1 if transposed else kern.ndim - 2
+        # arithmetic shifts sign-extend: low nibble via <<4 then >>4
+        lo = jnp.right_shift(jnp.left_shift(kern, 4), 4)
+        hi = jnp.right_shift(kern, 4)
+        w = jnp.stack([lo, hi], axis=axis + 1)
+        full = kern.shape[:axis] + (2 * kern.shape[axis],) + \
+            kern.shape[axis + 1:]
+        w = w.reshape(full).astype(jnp.float32)
+        if transposed:
+            nb = s.shape[-2]
+            w = (w.reshape(w.shape[:-1] + (nb, w.shape[-1] // nb)) * s
+                 ).reshape(full)
+        else:
+            nb = s.shape[-3]
+            w = (w.reshape(w.shape[:-2] + (nb, w.shape[-2] // nb,
+                                           w.shape[-1])) * s).reshape(full)
+        return w.astype(dtype)
     if kern.dtype == jnp.int8:
         return kern.astype(dtype) * p["scale"].astype(dtype)
     return kern

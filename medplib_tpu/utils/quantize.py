@@ -1,11 +1,22 @@
-"""Weight-only int8 quantization for inference.
+"""Weight-only int8/int4 quantization for inference.
 
 TPU-native counterpart of the reference's bitsandbytes 4/8-bit loading
 (/root/reference/chat.py:89-112, builder.py:39-48, including the
 skip-visual-modules behavior of `llm_int8_skip_modules=["visual_model"]`):
-per-output-channel symmetric int8 with an f32 scale, dequantized inside the
-matmul fusion. Halves HBM for the 7B weights — decode is memory-bound, so
-this directly buys decode throughput and frees room for batch/KV cache.
+
+- int8 (bits=8): per-output-channel symmetric with an f32 scale,
+  dequantized inside the matmul fusion. Halves HBM for the 7B weights.
+- int4 (bits=4): blockwise symmetric along the reduction axis (the TPU
+  analog of bnb NF4's 64-element double-quant blocks, chat.py:94-100),
+  two nibbles packed per int8 carrier byte — 0.5 bytes/weight in HBM.
+  Native jnp.int4 is avoided deliberately: the TPU runtime plugin cannot
+  take int4 arrays as jit arguments; nibble-packed int8 is portable and
+  the unpack (two shifts) fuses into the dequant multiply.
+
+Decode is memory-bound, so both directly buy decode throughput and free
+room for batch/KV cache. 4-bit nodes carry {"kernel": packed int8,
+"scale4": f32 blockwise}; the scale4 key (vs "scale") is what downstream
+dispatch keys on.
 """
 
 from __future__ import annotations
@@ -42,9 +53,47 @@ def _quantize_kernel(kernel: jnp.ndarray, out_axis: int):
     return q, scale.astype(jnp.float32)
 
 
-def quantize_tree(params: Any, skip: Sequence[str] = SKIP_MODULES) -> Any:
-    """Replace eligible linear kernels with {"kernel": int8,
-    "scale": f32} pairs. LoRA adapters and biases stay full precision."""
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(0,))
+def _quantize_kernel4(kernel: jnp.ndarray, transposed: bool, block: int):
+    """Blockwise int4 along the reduction axis, nibble-packed into int8.
+
+    Normal [.., in, out] kernels: scale4 [.., nb, 1, out], packed along the
+    in axis (even rows in the low nibble, odd rows in the high nibble).
+    Transposed [.., out, in]: scale4 [.., out, nb, 1], packed along in.
+    dequant (train/lora.dequant_kernel) distinguishes the two by which
+    trailing scale4 axis is 1."""
+    w = kernel.astype(jnp.float32)
+    if transposed:
+        *lead, O, I = w.shape
+        B = block if I % block == 0 else I
+        nb = I // B
+        wb = w.reshape(*lead, O, nb, B)
+        scale = jnp.max(jnp.abs(wb), axis=-1, keepdims=True) / 7.0
+    else:
+        *lead, I, O = w.shape
+        B = block if I % block == 0 else I
+        nb = I // B
+        wb = w.reshape(*lead, nb, B, O)
+        scale = jnp.max(jnp.abs(wb), axis=-2, keepdims=True) / 7.0
+    q = jnp.clip(jnp.round(wb / jnp.maximum(scale, 1e-12)), -8, 7
+                 ).astype(jnp.int8).reshape(w.shape)
+    axis = q.ndim - 1 if transposed else q.ndim - 2
+    lo = jax.lax.slice_in_dim(q, 0, q.shape[axis], 2, axis)
+    hi = jax.lax.slice_in_dim(q, 1, q.shape[axis], 2, axis)
+    packed = jnp.bitwise_or(jnp.bitwise_and(lo, jnp.int8(15)),
+                            jnp.left_shift(hi, 4))
+    return packed, scale.astype(jnp.float32)
+
+
+def quantize_tree(params: Any, skip: Sequence[str] = SKIP_MODULES,
+                  bits: int = 8, block: int = 64) -> Any:
+    """Replace eligible linear kernels with quantized pairs: bits=8 ->
+    {"kernel": int8, "scale": f32}, bits=4 -> {"kernel": packed int8,
+    "scale4": f32 blockwise}. LoRA adapters and biases stay full
+    precision. `block` is the int4 reduction-axis block size (bnb NF4
+    uses 64)."""
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
 
     def rec(node, path):
         if isinstance(node, dict):
@@ -52,17 +101,23 @@ def quantize_tree(params: Any, skip: Sequence[str] = SKIP_MODULES) -> Any:
                 k = node["kernel"]
                 if hasattr(k, "ndim") and k.ndim >= 2 and k.size >= 1 << 12:
                     name = path[-1] if path else ""
-                    out_axis = (k.ndim - 2 if name in TRANSPOSED_KERNELS
-                                else k.ndim - 1)
+                    transposed = name in TRANSPOSED_KERNELS
                     # drop the tree's reference BEFORE quantizing so the
                     # donated buffer is actually freeable
                     node["kernel"] = None
-                    q, scale = _quantize_kernel(jnp.asarray(k), out_axis)
+                    if bits == 4:
+                        q, scale = _quantize_kernel4(jnp.asarray(k),
+                                                     transposed, block)
+                        node["kernel"] = q
+                        node["scale4"] = scale
+                    else:
+                        out_axis = k.ndim - 2 if transposed else k.ndim - 1
+                        q, scale = _quantize_kernel(jnp.asarray(k), out_axis)
+                        node["kernel"] = q
+                        node["scale"] = scale
                     del k
-                    node["kernel"] = q
-                    node["scale"] = scale
                     for kk, vv in node.items():
-                        if kk not in ("kernel", "scale"):
+                        if kk not in ("kernel", "scale", "scale4"):
                             node[kk] = rec(vv, path + (kk,))
                     return node
             for k2, v in node.items():

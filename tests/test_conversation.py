@@ -68,3 +68,20 @@ def test_extra_tokens_match_reference_surgery():
            "<sr>", "</sr>", "<mask>", "</mask>"]
     ref += [f"<gen_{i}>" for i in range(1, 257)]
     assert list(EXTRA_TOKENS) == ref
+
+
+@pytest.mark.parametrize("name", ["v0_mmtag", "v1_mmtag", "v1", "v0"])
+def test_mmtag_image_tuple_parity(ref, name):
+    """Web-UI image-attachment form: first message is (text, image, mode).
+    mmtag versions announce the image as its own <Image>..</Image> round
+    (reference conversation.py:31-43, 343-378)."""
+    ours = conv.conv_templates[name].copy()
+    theirs = ref.conv_templates[name].copy()
+    theirs.messages = list(theirs.messages)
+    for c in (ours, theirs):
+        c.append_message(c.roles[0],
+                         ("<image>\nDescribe the scan.", object(), "Pad"))
+        c.append_message(c.roles[1], "It shows a lung nodule.")
+        c.append_message(c.roles[0], "Segment it.")
+        c.append_message(c.roles[1], None)
+    assert ours.get_prompt() == theirs.get_prompt()

@@ -38,3 +38,70 @@ def test_quantized_decode_consistent():
                                    llama.embed(params, ids[:, -1:]), cache)
     np.testing.assert_allclose(np.asarray(step), np.asarray(full[:, -1:]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_int4_quantize_dequant_exact_on_grid():
+    """Values already on a 15-level symmetric grid survive int4 round-trip
+    exactly, in both kernel layouts, including stacked leading dims."""
+    from medplib_tpu.train.lora import dequant_kernel
+    rng = np.random.default_rng(0)
+    for name, shape in (("down_proj", (3, 64, 32)),  # normal [L, in, out]
+                        ("q_proj", (3, 32, 64))):    # transposed [L, out, in]
+        levels = rng.integers(-7, 8, size=shape).astype(np.float32)
+        # pin one |7| per reduction block so every block's scale is exactly
+        # one grid step (blocks of 8 along in: axis 1 normal, axis 2 transp.)
+        if name == "down_proj":
+            levels[:, ::8, :] = 7.0
+        else:
+            levels[:, :, ::8] = 7.0
+        scales = rng.uniform(0.5, 2.0, size=shape[:1] + (1,) * 2)
+        w = levels * scales
+        tree = {name: {"kernel": jnp.asarray(w)}}
+        q = quantize_tree(tree, skip=(), bits=4, block=8)
+        node = q[name]
+        assert node["kernel"].dtype == jnp.int8
+        assert "scale4" in node and "scale" not in node
+        # packed along the reduction axis -> half the bytes of int8
+        assert node["kernel"].size == w.size // 2
+        back = np.asarray(dequant_kernel(node, jnp.float32))
+        np.testing.assert_allclose(back, w, rtol=1e-5, atol=1e-5)
+
+
+def test_int4_forward_close_to_fp32():
+    cfg = LlamaConfig.tiny()
+    params = llama.init_llama(jax.random.PRNGKey(0), cfg)
+    ids = jnp.arange(12).reshape(1, 12) % cfg.vocab_size
+    h_fp, _, _ = llama.forward(params, cfg, llama.embed(params, ids))
+    qparams = quantize_tree(params, bits=4)
+    assert qparams["layers"]["attn"]["q_proj"]["kernel"].dtype == jnp.int8
+    assert "scale4" in qparams["layers"]["attn"]["q_proj"]
+    # packed: half the elements of the original kernel
+    assert (qparams["layers"]["mlp"]["gate_proj"]["kernel"].size
+            == cfg.num_layers * cfg.hidden_size * cfg.intermediate_size // 2)
+    h_q, _, _ = llama.forward(qparams, cfg, llama.embed(qparams, ids))
+    rel = float(jnp.linalg.norm(h_q - h_fp) / jnp.linalg.norm(h_fp))
+    # tiny random nets (h=128) amplify 4-bit error vs a real checkpoint;
+    # exactness is covered by the grid test, consistency by the decode test
+    assert rel < 0.35, rel
+
+
+def test_int4_decode_consistent():
+    cfg = LlamaConfig.tiny()
+    params = quantize_tree(llama.init_llama(jax.random.PRNGKey(1), cfg),
+                           bits=4)
+    B, T, MAX = 1, 6, 12
+    ids = jnp.arange(T).reshape(B, T) % cfg.vocab_size
+    full, _, _ = llama.forward(params, cfg, llama.embed(params, ids))
+    cache = llama.KVCache.init(cfg, B, MAX, dtype=jnp.float32)
+    _, cache, _ = llama.forward(params, cfg, llama.embed(params, ids[:, :-1]),
+                                cache=cache)
+    step, _ = llama.forward_decode(params, cfg,
+                                   llama.embed(params, ids[:, -1:]), cache)
+    np.testing.assert_allclose(np.asarray(step), np.asarray(full[:, -1:]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_int4_rejects_bad_bits():
+    import pytest
+    with pytest.raises(ValueError, match="bits"):
+        quantize_tree({}, bits=3)

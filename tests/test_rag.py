@@ -57,3 +57,54 @@ def test_build_and_augment(tmp_path, encoder):
     assert aug[0]["icl_examples"][0]["image"] == paths[2]
     assert aug[0]["icl_examples"][0]["mask"] == "m2.png"
     assert len(aug[0]["icl_examples"]) == 2
+
+
+def test_encoder_registry_rejects_unknown():
+    with pytest.raises(ValueError, match="Unsupported RAG encoder type"):
+        image_rag.make_encoder("bogus_encoder")
+
+
+def test_encoder_registry_types():
+    assert set(image_rag.RAG_ENCODER_DEFAULT_PATHS) == {
+        "clip_encoder", "med_encoder", "det_encoder", "mask_encoder"}
+
+
+def test_make_encoder_loads_each_type(tmp_path, monkeypatch):
+    """Every registry type resolves its default path under the root and
+    loads a CLIP-family encoder (image_rag.py:92-115)."""
+    import jax
+    from medplib_tpu.config import ClipVisionConfig
+    from medplib_tpu.models.clip import init_clip_vision
+    from medplib_tpu.utils.checkpoint import save_params
+
+    cfg = ClipVisionConfig.tiny()
+    params = init_clip_vision(jax.random.PRNGKey(0), cfg)
+    monkeypatch.setenv("MEDPLIB_RAG_ENCODER_ROOT", str(tmp_path))
+    for t, sub in image_rag.RAG_ENCODER_DEFAULT_PATHS.items():
+        save_params(str(tmp_path / sub), params)
+        enc = image_rag.make_encoder(t, cfg=cfg, batch_size=2)
+        assert enc.encoder_type == t
+
+
+def test_candidate_extraction_priority(tmp_path):
+    """target_mask > mask > mask3 > inline tag; imageN/maskN and
+    icl_examples pairs all enter the pool (image_rag.py:38-87)."""
+    recs = [
+        {"image": "a.png", "target_mask": "tm.png", "mask": "m.png"},
+        {"image": "b.png",
+         "conversations": [{"value": "seg <mask>inline.png</mask>"}]},
+        {"image2": "c2.png", "mask2": "cm2.png"},
+        {"image": "d.png", "mask": "dm.png",
+         "icl_examples": [{"image": "e.png", "mask": "em.png"}]},
+        {"image": "nomask.png"},
+    ]
+    p = tmp_path / "cands.json"
+    p.write_text(json.dumps(recs))
+    cands = image_rag.collect_candidates(str(p), "/imgs")
+    pairs = {(c["image"], c["mask"]) for c in cands}
+    assert ("/imgs/a.png", "tm.png") in pairs          # priority: target_mask
+    assert ("/imgs/b.png", "inline.png") in pairs      # inline tag fallback
+    assert ("/imgs/c2.png", "cm2.png") in pairs        # imageN/maskN
+    assert ("/imgs/d.png", "dm.png") in pairs
+    assert ("/imgs/e.png", "em.png") in pairs          # icl example pool
+    assert not any(c["image"].endswith("nomask.png") for c in cands)

@@ -202,7 +202,8 @@ def test_web_ui_serves_page_and_proxies(tmp_path):
     ctrl.register_worker(waddr, False, {"model_names": ["medplib-tpu"],
                                         "speed": 1, "queue_length": 0})
 
-    ui = web.serve(curl, host="127.0.0.1", port=0)
+    log_dir = str(tmp_path / "conv_logs")
+    ui = web.serve(curl, host="127.0.0.1", port=0, log_dir=log_dir)
     threading.Thread(target=ui.serve_forever, daemon=True).start()
     uurl = f"http://127.0.0.1:{ui.server_address[1]}"
 
@@ -215,5 +216,32 @@ def test_web_ui_serves_page_and_proxies(tmp_path):
         headers={"Content-Type": "application/json"})
     out = urllib.request.urlopen(req, timeout=10).read()
     assert b"lesion" in out
+
+    # conversation logging + vote capture (gradio_web_server.py:128-131,
+    # 188-216): the chat round was logged; votes append typed rows
+    vreq = urllib.request.Request(
+        uurl + "/vote",
+        data=jsonlib.dumps({"type": "upvote",
+                            "state": {"prompt": "hi",
+                                      "text": "a lesion"}}).encode(),
+        headers={"Content-Type": "application/json"})
+    assert jsonlib.loads(urllib.request.urlopen(vreq, timeout=5).read())["ok"]
+    rows = [jsonlib.loads(line) for line in
+            open(web.conv_log_filename(log_dir))]
+    assert [r["type"] for r in rows] == ["chat", "upvote"]
+    assert rows[0]["state"]["text"] == "a lesion"
+    assert rows[1]["state"]["prompt"] == "hi"
+    assert all(r["model"] == "medplib-tpu" and "tstamp" in r for r in rows)
+
+    # bad vote types are rejected
+    breq = urllib.request.Request(
+        uurl + "/vote", data=jsonlib.dumps({"type": "nope"}).encode(),
+        headers={"Content-Type": "application/json"})
+    import urllib.error
+    try:
+        urllib.request.urlopen(breq, timeout=5)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
     for s in (ui, csrv, wsrv):
         s.shutdown()
