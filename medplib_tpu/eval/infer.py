@@ -132,7 +132,8 @@ class Evaluator:
                                         "gt_mask": gt_orig,
                                         "image_path": rec["image_path"]})
                         if ecfg.vis_dir:
-                            self._save_vis(ecfg.vis_dir, i, pred, gt_orig)
+                            self._save_vis(ecfg.vis_dir, i, pred, gt_orig,
+                                           rec.get("image_path"))
                 else:
                     records.append(rec)
                 fout.write(json.dumps(
@@ -143,15 +144,40 @@ class Evaluator:
             return seg_metrics.evaluate_seg(records)
         return vqa_metrics.evaluate_vqa(records)
 
-    def _save_vis(self, vis_dir, idx, pred_logits, gt):
-        """Prediction/gt overlay jpgs (vqa_infer.py:596-602)."""
+    def _save_vis(self, vis_dir, idx, pred_logits, gt, image_path=None):
+        """Side-by-side [original | gt overlay | pred overlay] panel blended
+        onto the source image (vqa_infer.py vis_overlay_masks, :362-392);
+        falls back to raw pred/gt PNGs when the source isn't readable."""
         from PIL import Image
         os.makedirs(vis_dir, exist_ok=True)
-        pred = seg_metrics.binarize_logits(pred_logits) * 255
-        Image.fromarray(pred.astype(np.uint8)).save(
-            os.path.join(vis_dir, f"{idx}_pred.png"))
-        Image.fromarray(((gt > 0) * 255).astype(np.uint8)).save(
-            os.path.join(vis_dir, f"{idx}_gt.png"))
+        pred = seg_metrics.binarize_logits(pred_logits).astype(bool)
+        gtb = gt > 0
+        img = None
+        if image_path and os.path.exists(str(image_path)):
+            try:
+                img = np.asarray(Image.open(image_path).convert("RGB"))
+            except Exception:  # noqa: BLE001 - unreadable source
+                img = None
+        if img is None:
+            Image.fromarray((pred * 255).astype(np.uint8)).save(
+                os.path.join(vis_dir, f"{idx}_pred.png"))
+            Image.fromarray((gtb * 255).astype(np.uint8)).save(
+                os.path.join(vis_dir, f"{idx}_gt.png"))
+            return
+        if img.shape[:2] != pred.shape:
+            img = np.asarray(Image.fromarray(img).resize(
+                (pred.shape[1], pred.shape[0])))
+        color = np.array([118, 158, 224], np.float32)  # ref overlay blue
+
+        def blend(mask):
+            ov = np.zeros_like(img, np.float32)
+            ov[mask] = color
+            out = img.astype(np.float32) * 0.5 + ov * 0.9
+            return np.clip(out, 0, 255).astype(np.uint8)
+
+        panel = np.concatenate([img, blend(gtb), blend(pred)], axis=1)
+        Image.fromarray(panel).save(
+            os.path.join(vis_dir, f"{idx}_overlay.png"))
 
 
 def merge_chunk_outputs(paths: Sequence[str], out_path: str):

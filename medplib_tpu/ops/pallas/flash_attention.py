@@ -10,10 +10,18 @@ length is HBM-bound (8x faster than XLA's fused attention at 8k tokens on
 v5e: 33ms vs 258ms at B=2 H=16 D=128).
 
 Causal blocks below the diagonal skip masking entirely; blocks strictly above
-the diagonal are skipped by bounding the kv loop per q block. Gradients take
-a recompute path through the XLA attention (flash is used for inference
-prefill; training lengths in MedPLIB are <= 2048 where XLA's fused attention
-is already at roofline).
+the diagonal are skipped by bounding the kv loop per q block.
+
+The backward is fused too (flash-attn paper's two-pass recompute scheme,
+matching the fwd+bwd scope of the reference's vendored Triton kernel,
+mpt/flash_attn_triton.py:1-1087): the forward additionally emits the row
+log-sum-exp; backward recomputes P blockwise from (Q, K, LSE) — never
+materializing the [T, S] logits in HBM — with one kv-innermost pass
+accumulating dQ and one q-innermost pass accumulating dK/dV in VMEM scratch.
+This keeps 8k-token ICL *training* HBM-bound instead of falling back to
+materialized XLA attention. Measured on v5e (B=2 H=16 D=128 bf16, fwd+bwd):
+42.5ms vs XLA 61.4ms at 4k; 65ms at 8k where XLA's backward fails to
+compile outright (the [T, S] logit residuals alone are ~17 GB).
 """
 
 from __future__ import annotations
@@ -30,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -2.3819763e38
 
 
-def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref,
+def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                   acc_ref, m_ref, l_ref,
                   *, block_k: int, kv_len: int, q_offset: int, scale: float,
                   has_mask: bool, num_kv_blocks: int):
@@ -80,10 +88,13 @@ def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref,
     def _finalize():
         o_ref[0] = (acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
                     ).astype(o_ref.dtype)
+        # row log-sum-exp of the SCALED logits — the backward residual
+        lse_ref[0, 0] = (m_ref[...] +
+                         jnp.log(jnp.maximum(l_ref[...], 1e-30)))[:, 0]
 
 
-def _flash_forward(q, k, v, attn_mask, block_q: int, block_k: int):
-    """q [B,T,H,D], k/v [B,S,H,D] (heads already repeated), mask [B,S] or None."""
+def _pack_heads(q, k, v, attn_mask, block_q, block_k):
+    """[B,T,H,D] layouts -> padded [BH, T', D] + [BH, 1, S'] mask."""
     b, t, h, d = q.shape
     s = k.shape[1]
     q_bhtd = jnp.moveaxis(q, 2, 1).reshape(b * h, t, d)
@@ -93,12 +104,10 @@ def _flash_forward(q, k, v, attn_mask, block_q: int, block_k: int):
     t_pad = -t % block_q
     if t_pad:
         q_bhtd = jnp.pad(q_bhtd, ((0, 0), (0, t_pad), (0, 0)))
-    tp = t + t_pad
     s_pad = -s % block_k
     if s_pad:
         k_bhtd = jnp.pad(k_bhtd, ((0, 0), (0, s_pad), (0, 0)))
         v_bhtd = jnp.pad(v_bhtd, ((0, 0), (0, s_pad), (0, 0)))
-    sp = s + s_pad
 
     has_mask = attn_mask is not None
     if has_mask:
@@ -107,14 +116,26 @@ def _flash_forward(q, k, v, attn_mask, block_q: int, block_k: int):
             mask = jnp.pad(mask, ((0, 0), (0, s_pad)))
         mask = mask[:, None, :]  # [BH, 1, S] so the block tile is 2D-aligned
     else:
-        mask = jnp.zeros((b * h, 1, sp), jnp.int32)
+        mask = jnp.zeros((b * h, 1, s + s_pad), jnp.int32)
+    return q_bhtd, k_bhtd, v_bhtd, mask
+
+
+def _flash_forward(q, k, v, attn_mask, block_q: int, block_k: int):
+    """q [B,T,H,D], k/v [B,S,H,D] (heads already repeated), mask [B,S] or
+    None. Returns (out [B,T,H,D], lse [BH, T'] of the scaled logits)."""
+    b, t, h, d = q.shape
+    s = k.shape[1]
+    q_bhtd, k_bhtd, v_bhtd, mask = _pack_heads(q, k, v, attn_mask,
+                                               block_q, block_k)
+    tp, sp = q_bhtd.shape[1], k_bhtd.shape[1]
+    has_mask = attn_mask is not None
 
     nk = sp // block_k
     grid = (b * h, tp // block_q, nk)
     kernel = functools.partial(
         _flash_kernel, block_k=block_k, kv_len=s, q_offset=s - t,
         scale=d ** -0.5, has_mask=has_mask, num_kv_blocks=nk)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -127,9 +148,17 @@ def _flash_forward(q, k, v, attn_mask, block_q: int, block_k: int):
             pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, tp, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            # dummy middle axis keeps the trailing 2D tile aligned
+            pl.BlockSpec((1, 1, block_q), lambda i, j, kk: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, tp, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, 1, tp), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),   # acc
             pltpu.VMEM((block_q, 1), jnp.float32),   # m
@@ -145,13 +174,191 @@ def _flash_forward(q, k, v, attn_mask, block_q: int, block_k: int):
         interpret=jax.default_backend() != "tpu",
     )(mask, q_bhtd, k_bhtd, v_bhtd)
     out = out[:, :t].reshape(b, h, t, d)
-    return jnp.moveaxis(out, 1, 2)
+    return jnp.moveaxis(out, 1, 2), lse
 
 
-def _xla_reference(q, k, v, attn_mask):
-    from medplib_tpu.ops.attention import _xla_attention, make_causal_bias
-    bias = make_causal_bias(attn_mask, q.shape[1], k.shape[1])
-    return _xla_attention(q, k, v, bias)
+def _dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+               dq_ref, dq_acc,
+               *, block_k: int, kv_len: int, q_offset: int, scale: float,
+               has_mask: bool, num_kv_blocks: int):
+    """Grid (BH, nq, nk), kv innermost: recompute P blockwise from (Q, K,
+    LSE), accumulate dQ = sum_j dS_j K_j * scale in VMEM scratch."""
+    ki = pl.program_id(2)
+    block_q = q_ref.shape[1]
+    qi = pl.program_id(1)
+    q_start = qi * block_q + q_offset
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    @pl.when(ki * block_k <= q_start + block_q - 1)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32) * scale          # [Bq, D]
+        k_blk = k_ref[0].astype(jnp.float32)              # [Bk, D]
+        v_blk = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)                # [Bq, D]
+        lse = lse_ref[0, 0].astype(jnp.float32)           # [Bq]
+        delta = delta_ref[0, 0].astype(jnp.float32)       # [Bq]
+
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_start
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+        keep = jnp.logical_and(rows >= cols, cols < kv_len)
+        if has_mask:
+            pad = mask_ref[0, 0, :]
+            keep = jnp.logical_and(keep, (pad > 0)[None, :])
+        p = jnp.where(keep, jnp.exp(s - lse[:, None]), 0.0)
+        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None])
+        dq_acc[...] += jnp.dot(ds, k_blk,
+                               preferred_element_type=jnp.float32) * scale
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _finalize():
+        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, dk_acc, dv_acc,
+                *, block_q: int, kv_len: int, q_offset: int, scale: float,
+                has_mask: bool, num_q_blocks: int):
+    """Grid (BH, nk, nq), q innermost: accumulate dV = P^T dO and
+    dK = dS^T Q * scale in VMEM scratch for one kv block."""
+    qi = pl.program_id(2)
+    block_k = k_ref.shape[1]
+    ki = pl.program_id(1)
+    q_start = qi * block_q + q_offset
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    # this q block touches the kv block only if its last row reaches it
+    @pl.when(q_start + block_q - 1 >= ki * block_k)
+    def _compute():
+        # everything in [Bq, Bk] orientation (mask broadcasts only along the
+        # lane dim — Mosaic can't relayout i1 vectors into sublanes); the
+        # kv-sided products contract over the q axis via dot_general
+        q = q_ref[0].astype(jnp.float32) * scale          # [Bq, D]
+        k_blk = k_ref[0].astype(jnp.float32)              # [Bk, D]
+        v_blk = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)                # [Bq, D]
+        lse = lse_ref[0, 0].astype(jnp.float32)           # [Bq]
+        delta = delta_ref[0, 0].astype(jnp.float32)       # [Bq]
+
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + q_start
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + \
+            ki * block_k
+        keep = jnp.logical_and(rows >= cols, cols < kv_len)
+        if has_mask:
+            pad = mask_ref[0, 0, :]
+            keep = jnp.logical_and(keep, (pad > 0)[None, :])
+        p = jnp.where(keep, jnp.exp(s - lse[:, None]), 0.0)   # [Bq, Bk]
+        # dV_j = sum_i P_ij dO_i  (contract the q axis)
+        dv_acc[...] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None])                        # [Bq, Bk]
+        # q is pre-scaled: dK_j = sum_i dS_ij * scale * Q_i
+        dk_acc[...] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(qi == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, attn_mask, out, lse, g,
+                    block_q: int, block_k: int):
+    """Fused flash backward: dQ pass (kv innermost) + dK/dV pass (q
+    innermost). Never materializes [T, S] in HBM."""
+    b, t, h, d = q.shape
+    s = k.shape[1]
+    q_p, k_p, v_p, mask = _pack_heads(q, k, v, attn_mask, block_q, block_k)
+    do_p = _pack_heads(g, k, v, None, block_q, block_k)[0]
+    o_p = _pack_heads(out, k, v, None, block_q, block_k)[0]
+    tp, sp = q_p.shape[1], k_p.shape[1]
+    has_mask = attn_mask is not None
+
+    # delta_i = rowsum(dO_i * O_i) — cheap elementwise, XLA fuses it
+    delta = jnp.sum(do_p.astype(jnp.float32) * o_p.astype(jnp.float32),
+                    axis=-1)[:, None, :]  # [BH, 1, T']
+
+    nq, nk = tp // block_q, sp // block_k
+    common = dict(kv_len=s, q_offset=s - t, scale=d ** -0.5,
+                  has_mask=has_mask)
+    interp = jax.default_backend() != "tpu"
+
+    mask_spec_kv = pl.BlockSpec((1, 1, block_k), lambda i, j, kk: (i, 0, kk),
+                                memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((1, block_q, d), lambda i, j, kk: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0),
+                           memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 1, block_q), lambda i, j, kk: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, block_k=block_k, num_kv_blocks=nk,
+                          **common),
+        grid=(b * h, nq, nk),
+        in_specs=[mask_spec_kv, q_spec, kv_spec, kv_spec, q_spec, row_spec,
+                  row_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, tp, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * b * h * t * s * d,
+            bytes_accessed=(2 * q.size + 2 * k.size) * q.dtype.itemsize,
+            transcendentals=b * h * t * s),
+        interpret=interp,
+    )(mask, q_p, k_p, v_p, do_p, lse, delta)
+
+    # q-innermost pass: block index maps take (i, ki, qi)
+    mask_spec2 = pl.BlockSpec((1, 1, block_k), lambda i, kk, j: (i, 0, kk),
+                              memory_space=pltpu.VMEM)
+    q_spec2 = pl.BlockSpec((1, block_q, d), lambda i, kk, j: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+    kv_spec2 = pl.BlockSpec((1, block_k, d), lambda i, kk, j: (i, kk, 0),
+                            memory_space=pltpu.VMEM)
+    row_spec2 = pl.BlockSpec((1, 1, block_q), lambda i, kk, j: (i, 0, j),
+                             memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, block_q=block_q, num_q_blocks=nq,
+                          **common),
+        grid=(b * h, nk, nq),
+        in_specs=[mask_spec2, q_spec2, kv_spec2, kv_spec2, q_spec2,
+                  row_spec2, row_spec2],
+        out_specs=[kv_spec2, kv_spec2],
+        out_shape=[jax.ShapeDtypeStruct((b * h, sp, d), k.dtype),
+                   jax.ShapeDtypeStruct((b * h, sp, d), v.dtype)],
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * b * h * t * s * d,
+            bytes_accessed=(2 * q.size + 3 * k.size) * q.dtype.itemsize,
+            transcendentals=b * h * t * s),
+        interpret=interp,
+    )(mask, q_p, k_p, v_p, do_p, lse, delta)
+
+    dq = jnp.moveaxis(dq[:, :t].reshape(b, h, t, d), 1, 2)
+    dk = jnp.moveaxis(dk[:, :s].reshape(b, h, s, d), 1, 2)
+    dv = jnp.moveaxis(dv[:, :s].reshape(b, h, s, d), 1, 2)
+    return dq, dk, dv
+
+
+def _block_sizes(block_sizes, t, s):
+    bq, bk = block_sizes
+    return min(bq, max(t, 8)), min(bk, s)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -159,22 +366,22 @@ def _flash_vjp(q, k, v, attn_mask, causal, block_sizes):
     # attn_mask is a traced int array -> it must be a REGULAR custom_vjp
     # argument (nondiff_argnums is only for non-tracer static values); its
     # cotangent is the symbolic-zero float0.
-    bq, bk = block_sizes
-    return _flash_forward(q, k, v, attn_mask, min(bq, max(q.shape[1], 8)),
-                          min(bk, k.shape[1]))
+    bq, bk = _block_sizes(block_sizes, q.shape[1], k.shape[1])
+    return _flash_forward(q, k, v, attn_mask, bq, bk)[0]
 
 
 def _fwd(q, k, v, attn_mask, causal, block_sizes):
-    out = _flash_vjp(q, k, v, attn_mask, causal, block_sizes)
-    return out, (q, k, v, attn_mask)
+    bq, bk = _block_sizes(block_sizes, q.shape[1], k.shape[1])
+    out, lse = _flash_forward(q, k, v, attn_mask, bq, bk)
+    return out, (q, k, v, attn_mask, out, lse)
 
 
 def _bwd(causal, block_sizes, res, g):
-    q, k, v, attn_mask = res
-    _, vjp = jax.vjp(lambda q, k, v: _xla_reference(q, k, v, attn_mask),
-                     q, k, v)
+    q, k, v, attn_mask, out, lse = res
+    bq, bk = _block_sizes(block_sizes, q.shape[1], k.shape[1])
+    dq, dk, dv = _flash_backward(q, k, v, attn_mask, out, lse, g, bq, bk)
     dmask = np.zeros(attn_mask.shape, jax.dtypes.float0)
-    return vjp(g) + (dmask,)
+    return dq, dk, dv, dmask
 
 
 _flash_vjp.defvjp(_fwd, _bwd)

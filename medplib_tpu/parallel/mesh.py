@@ -53,6 +53,39 @@ def local_mesh() -> Mesh:
     return make_mesh(MeshConfig(1, 1, 1))
 
 
+def init_distributed(coordinator: str, num_processes: int,
+                     process_id: int) -> None:
+    """Multihost entry: join the JAX distributed runtime BEFORE any backend
+    touch. After this, jax.devices() is the GLOBAL device list and
+    make_mesh() spans hosts — the data axis should be laid out so per-host
+    device groups are contiguous (our (data, expert, model) reshape does
+    this when data is the outermost/multi-host axis), keeping expert/model
+    collectives on intra-host ICI and only data-parallel gradient reduction
+    on DCN. Replaces the reference's torch.distributed/DeepSpeed launcher
+    env handshake (train_ds_medplib.py:383-420, local_rank/world_size).
+    """
+    import jax
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def host_local_batch_to_global(mesh: Mesh, batch: Any) -> Any:
+    """Multihost data loading: each process loads only ITS slice of the
+    global batch (1/num_processes of the data axis); this assembles the
+    per-host numpy shards into global jax.Arrays sharded along `data`
+    without any cross-host transfer. Single-process: equivalent to
+    device_put with the batch sharding."""
+    import jax
+
+    def conv(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(AXIS_DATA)), x)
+
+    return jax.tree_util.tree_map(conv, batch)
+
+
 # ---------------------------------------------------------------------------
 # Logical-axis -> mesh-axis rules
 # ---------------------------------------------------------------------------

@@ -182,6 +182,13 @@ class ModelWorker:
 
         toks = []
         steps = 0
+        # incremental detokenization: only tokens past `committed` are
+        # re-decoded each chunk (tokenizers can merge text across token
+        # boundaries, so hold back a small uncommitted tail instead of
+        # re-decoding the whole list -> O(n) total instead of O(n^2))
+        committed = 0          # tokens whose text is final
+        committed_text = ""
+        HOLDBACK = 8
         while steps < self.max_new_tokens:
             if do_sample:
                 state, chunk_toks, chunk_done = self._chunk_sample(
@@ -195,8 +202,23 @@ class ModelWorker:
                         len(toks) < self.max_new_tokens:
                     toks.append(int(t))
             steps += chunk_toks.shape[1]
-            text = self.tok.decode(toks, skip_special_tokens=False
-                                   ).replace("</s>", "")
+
+            def tail_text(upto):
+                # decode with a token overlap before `committed` so
+                # sentencepiece's leading-space markers survive slicing
+                ws = max(0, committed - HOLDBACK)
+                prev = self.tok.decode(toks[ws:committed],
+                                       skip_special_tokens=False)
+                cur = self.tok.decode(toks[ws:upto],
+                                      skip_special_tokens=False)
+                return cur[len(prev):]
+
+            if len(toks) - committed > 2 * HOLDBACK:
+                commit_to = len(toks) - HOLDBACK
+                committed_text += tail_text(commit_to)
+                committed = commit_to
+            text = (committed_text + tail_text(len(toks))
+                    ).replace("</s>", "")
             yield json.dumps({"text": text, "mask": [], "height": "0",
                               "width": "0",
                               "error_code": protocol.ERROR_CODE_OK}
@@ -204,8 +226,11 @@ class ModelWorker:
             if bool(done_np[-1]) or bool(np.asarray(state.done)[0]):
                 break
 
-        text = self.tok.decode(toks, skip_special_tokens=False
-                               ).replace("</s>", "").strip()
+        ws = max(0, committed - HOLDBACK)
+        prev = self.tok.decode(toks[ws:committed], skip_special_tokens=False)
+        cur = self.tok.decode(toks[ws:], skip_special_tokens=False)
+        text = (committed_text + cur[len(prev):]
+                ).replace("</s>", "").strip()
         encoded_mask, h, w = [], 0, 0
         # skip the full SAM forward for non-segmentation requests
         if int(np.asarray(state.seg_count)[0]) > 0:

@@ -74,10 +74,18 @@ def build_argparser():
     ap.add_argument("--exp-name", default="medplib-tpu")
     ap.add_argument("--log-base-dir", default="./runs")
     ap.add_argument("--auto-resume", action="store_true", default=True)
-    # mesh
+    # mesh (sizes refer to GLOBAL devices across all hosts)
     ap.add_argument("--mesh-data", type=int, default=1)
     ap.add_argument("--mesh-expert", type=int, default=1)
     ap.add_argument("--mesh-model", type=int, default=1)
+    # multihost (replaces the DeepSpeed launcher env handshake,
+    # train_ds_medplib.py:383-420): every host runs this CLI with the same
+    # coordinator and its own --process-id; data loading is per-host
+    # (parallel/mesh.host_local_batch_to_global)
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of process 0; enables multihost")
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--process-id", type=int, default=0)
     # debug (the reference's --cpu_only analog, vqa_infer.py:90)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model config for CPU smoke/debug runs; "
@@ -87,6 +95,11 @@ def build_argparser():
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    if args.coordinator:
+        # must run before any other jax import touches the backend
+        from medplib_tpu.parallel.mesh import init_distributed
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
     import jax
     import jax.numpy as jnp
     import numpy as np

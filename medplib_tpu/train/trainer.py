@@ -130,8 +130,10 @@ class Trainer:
         start_step = self.resume_if_possible()
         start_epoch = start_step // spe
 
-        meters = {name: AverageMeter(name, ":.4f")
-                  for name in ("loss", "ce_loss", "mask_loss")}
+        # meters materialize lazily from whatever scalar metrics the model
+        # emits (9 for the full MoE+seg config) — the console Progress view
+        # shows everything TB gets, not a hardcoded subset
+        meters: dict = {}
         batch_time = AverageMeter("time", ":.2f")
         global_step = start_step
 
@@ -146,24 +148,37 @@ class Trainer:
                 prefix=f"epoch {epoch}: ")
             for local_step in range(skip, spe):
                 t0 = time.time()
-                try:
-                    batches = next(it)
-                except StopIteration:
+                batches, faults = None, 0
+                while batches is None:
+                    try:
+                        batches = next(it)
+                    except StopIteration:
+                        break
+                    except Exception as e:  # noqa: BLE001 - loader fault
+                        # tolerate data-loader faults by re-opening the
+                        # iterator (the reference swallows loader errors the
+                        # same way, train_ds_medplib.py:580-584) — bounded,
+                        # so a deterministically-failing first batch aborts
+                        # instead of spinning forever
+                        faults += 1
+                        if faults > 3:
+                            raise RuntimeError(
+                                "data loader failed 3 times in a row; "
+                                "aborting instead of looping") from e
+                        print(f"data loader error, re-iterating: {e}",
+                              flush=True)
+                        it = batch_iterator()
+                if batches is None:
                     break
-                except Exception as e:  # noqa: BLE001 - loader fault
-                    # tolerate data-loader faults by re-opening the iterator
-                    # (the reference swallows loader errors the same way,
-                    # train_ds_medplib.py:580-584)
-                    print(f"data loader error, re-iterating: {e}",
-                          flush=True)
-                    it = batch_iterator()
-                    batches = next(it)
                 self.state, metrics = self.step_fn(self.state, batches)
                 metrics = {k: float(v) for k, v in metrics.items()}
                 batch_time.update(time.time() - t0)
-                for k, m in meters.items():
-                    if k in metrics:
-                        m.update(metrics[k])
+                for k, v in metrics.items():
+                    if k not in meters:
+                        meters[k] = AverageMeter(k, ":.4f")
+                        progress.meters = (list(meters.values()) +
+                                           [batch_time])
+                    meters[k].update(v)
                 global_step += 1
                 if global_step % tcfg.log_steps == 0:
                     progress.display(local_step + 1)

@@ -132,3 +132,49 @@ def test_flash_attention_matches_xla():
     got = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
                           jnp.asarray(mask), True, (128, 128))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_flash_attention_fused_backward_matches_xla():
+    """The fused Pallas backward (dQ pass + dK/dV pass recomputing P from
+    the forward's LSE) matches XLA attention gradients, including padding
+    mask and non-divisible lengths."""
+    import jax
+    from medplib_tpu.ops.attention import _xla_attention, make_causal_bias
+    from medplib_tpu.ops.pallas.flash_attention import flash_attention
+    rng = np.random.default_rng(7)
+    B, T, H, D = 2, 72, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    mask = np.ones((B, T), np.int32)
+    mask[1, -9:] = 0
+    mask = jnp.asarray(mask)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(
+            flash_attention(q, k, v, mask, block_sizes=(16, 16))))
+
+    def loss_xla(q, k, v):
+        bias = make_causal_bias(mask, T, T)
+        return jnp.sum(jnp.sin(_xla_attention(q, k, v, bias)))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_flash_attention_backward_no_mask_path():
+    """grad through flash_attention with attn_mask=None (all-ones path)."""
+    import jax
+    from medplib_tpu.ops.pallas.flash_attention import flash_attention
+    rng = np.random.default_rng(8)
+    B, T, H, D = 1, 32, 2, 32
+    q = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32))
+    g = jax.grad(lambda q: jnp.sum(
+        flash_attention(q, k, v, None, block_sizes=(16, 16))))(q)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.linalg.norm(g)) > 0
