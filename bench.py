@@ -14,10 +14,12 @@ The north star in BASELINE.json is >=3x that per v5e chip.
 
 Default config = the production serving configuration: weight-only int8 LLM
 (utils/quantize.py, the framework's bitsandbytes-equivalent; per-channel
-scales, towers kept bf16) at batch 12 — 9.3 masks/s (3.7x). Overrides:
-BENCH_QUANT=bf16 BENCH_B=3 measures full-bf16 (6.3 masks/s, 2.53x);
-measured v5e ladder: bf16 B=2 5.2, bf16 B=3 6.3 (B=4 OOM), int8 B=8 9.1,
-int8 B=12 9.3 (B=16 OOM).
+scales, towers kept bf16) at batch 12 — 12.0 masks/s (4.8x). Overrides:
+BENCH_QUANT=bf16 BENCH_B=3 measures full-bf16; measured v5e ladder after the
+in-place KV-cache decode fix (models/llama.py forward_decode: the cache
+rides the layer-scan carry, killing an ~8 GB/step restack): int8 B=12 12.0,
+int8 B=16 11.8 (now fits; was OOM). Pre-fix history: bf16 B=2 5.2, bf16
+B=3 6.3 (B=4 OOM), int8 B=8 9.1, int8 B=12 9.3-9.6.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -46,6 +48,44 @@ def log(msg):
     import sys, time
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
           flush=True)
+
+
+def _phase_timings(params, cfg, batch, max_new, unroll):
+    """BENCH_PHASES=1: time prefill / decode / grounding separately via the
+    worker's stream fns (diagnostic; stderr only). Runs at a reduced batch:
+    holding a live StreamState while a second one is produced needs TWO KV
+    caches (8 GB each at B=12/7B), which generate() avoids by keeping the
+    cache inside one donated program."""
+    from medplib_tpu.models import medplib
+
+    B = min(4, batch.input_ids.shape[0])
+    small = jax.tree_util.tree_map(lambda a: a[:B], batch)
+
+    prefill = jax.jit(lambda p, b: medplib.stream_prefill(
+        p, cfg, b, max_new_tokens=max_new))
+    chunk = jax.jit(lambda p, s: medplib.stream_decode_chunk(
+        p, cfg, s, max_new))
+    ground = jax.jit(lambda p, b, s: medplib.stream_ground(p, cfg, b, s))
+
+    state = prefill(params, small)
+    _, toks, done = chunk(params, state)
+    res = ground(params, small, state)
+    _ = float(jnp.sum(res[0]))
+
+    def timeit(fn, n=5):
+        t0 = time.time()
+        for _ in range(n):
+            out = fn()
+            _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(
+                jnp.float32)))
+        return (time.time() - t0) / n
+
+    tp = timeit(lambda: prefill(params, small))
+    td = timeit(lambda: chunk(params, state))
+    tg = timeit(lambda: ground(params, small, state))
+    log(f"phases@B={B}: prefill {tp*1e3:.1f}ms, "
+        f"decode({max_new}) {td*1e3:.1f}ms ({td/max_new*1e3:.1f}ms/step), "
+        f"ground {tg*1e3:.1f}ms; sum {(tp+td+tg)*1e3:.1f}ms")
 
 
 def main():
@@ -91,9 +131,13 @@ def main():
     max_new = 10  # typical grounding answer: "It is <SEG>." + stop
     batch = ge._make_batch(cfg, B=B, T=T_in, rng=rng)
 
+    unroll = os.environ.get("BENCH_UNROLL", "0") == "1"
     gen = jax.jit(
         lambda p, b: medplib.generate(p, cfg, b, max_new_tokens=max_new,
-                                      unroll_layers=False))
+                                      unroll_layers=unroll))
+
+    if os.environ.get("BENCH_PHASES") == "1":
+        _phase_timings(params, cfg, batch, max_new, unroll)
 
     def run_once(b):
         res = gen(params, b)

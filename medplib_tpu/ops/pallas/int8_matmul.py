@@ -52,6 +52,16 @@ def _matmul(x2d: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
     n = w.shape[0] if transposed else w.shape[1]
     bm = min(block_m, max(8, m))
     bn = min(block_n, n)
+    # VMEM budget (double-buffered pipeline): x 2*bm*k*2B, w 2*k*bn*1B,
+    # out/acc bm*bn*6B — shrink blocks until it fits (K=11008 mlp kernels
+    # blow the (256, 512) default that was sized for K=4096)
+    def vmem(bm_, bn_):
+        return 2 * bm_ * k * 2 + 2 * k * bn_ + bm_ * bn_ * 6
+    BUDGET = 12 * 1024 * 1024
+    while vmem(bm, bn) > BUDGET and bm > 64:
+        bm //= 2
+    while vmem(bm, bn) > BUDGET and bn > 128:
+        bn //= 2
 
     m_pad = -m % bm
     if m_pad:

@@ -97,7 +97,16 @@ def dequant_kernel(p: Params, dtype) -> jnp.ndarray:
 
 
 def linear(p: Params, x: jnp.ndarray, scale: float = 2.0) -> jnp.ndarray:
-    """x @ kernel with optional LoRA path. `scale` = alpha / r."""
+    """x @ kernel with optional LoRA path. `scale` = alpha / r.
+
+    Int8 nodes stay on the XLA dequant path even in decode: measured on
+    v5e-1 at 7B/B=12, routing the scan-body layer slices into the Pallas
+    int8 matmul REGRESSED the headline bench 9.61 -> 9.16 masks/s (the
+    dynamic layer slice feeding a custom call forfeits XLA's in-fusion
+    dequant), and unroll_layers=True (true 2D kernels) exceeds HBM at 7B
+    because the per-layer KV stack can't alias in place. The Pallas kernel
+    remains the right tool for the pack_inference wide kernels
+    (models/llama.py dense_mlp/_qkv packed branches)."""
     y = x @ dequant_kernel(p, x.dtype)
     if "lora_a" in p:
         y = y + ((x @ p["lora_a"]) @ p["lora_b"]) * scale

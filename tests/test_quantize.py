@@ -105,3 +105,26 @@ def test_int4_rejects_bad_bits():
     import pytest
     with pytest.raises(ValueError, match="bits"):
         quantize_tree({}, bits=3)
+
+
+def test_pallas_int8_matmul_matches_xla_dequant():
+    """ops/pallas/int8_matmul (decode-regime streaming dequant) == XLA
+    dequant matmul, both layouts, including K=11008 (budget-shrunk blocks)
+    and a non-128-divisible N (padded output channels)."""
+    from medplib_tpu.ops.pallas.int8_matmul import int8_matmul, int8_matmul_t
+    rng = np.random.default_rng(0)
+    for m, k, n, transposed in ((12, 256, 320, False), (12, 256, 320, True),
+                                (8, 11008 // 16, 128, False)):
+        x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+        if transposed:
+            w = rng.integers(-127, 128, size=(n, k)).astype(np.int8)
+            s = rng.uniform(0.01, 0.1, size=(n, 1)).astype(np.float32)
+            got = int8_matmul_t(x, jnp.asarray(w), jnp.asarray(s))
+            want = x @ (w.astype(np.float32) * s).T
+        else:
+            w = rng.integers(-127, 128, size=(k, n)).astype(np.int8)
+            s = rng.uniform(0.01, 0.1, size=(1, n)).astype(np.float32)
+            got = int8_matmul(x, jnp.asarray(w), jnp.asarray(s))
+            want = x @ (w.astype(np.float32) * s)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3,
+                                   atol=2e-3)
