@@ -50,7 +50,7 @@ def log(msg):
           flush=True)
 
 
-def _phase_timings(params, cfg, batch, max_new, unroll):
+def _phase_timings(params, cfg, batch, max_new, unroll, actq=False):
     """BENCH_PHASES=1: time prefill / decode / grounding separately via the
     worker's stream fns (diagnostic; stderr only). Runs at a reduced batch:
     holding a live StreamState while a second one is produced needs TWO KV
@@ -67,10 +67,12 @@ def _phase_timings(params, cfg, batch, max_new, unroll):
         p, cfg, s, max_new))
     ground = jax.jit(lambda p, b, s: medplib.stream_ground(p, cfg, b, s))
 
-    state = prefill(params, small)
-    _, toks, done = chunk(params, state)
-    res = ground(params, small, state)
-    _ = float(jnp.sum(res[0]))
+    from medplib_tpu.utils.quantize import dynamic_act_quant
+    with dynamic_act_quant(actq):   # trace-time flag
+        state = prefill(params, small)
+        _, toks, done = chunk(params, state)
+        res = ground(params, small, state)
+        _ = float(jnp.sum(res[0]))
 
     def timeit(fn, n=5):
         t0 = time.time()
@@ -132,12 +134,15 @@ def main():
     batch = ge._make_batch(cfg, B=B, T=T_in, rng=rng)
 
     unroll = os.environ.get("BENCH_UNROLL", "0") == "1"
+    # W8A8: dynamic per-row activation quant on prefill matmuls (2x-rate
+    # int8 MXU); decode stays weight-only (utils/quantize.dynamic_act_quant)
+    actq = use_int8 and os.environ.get("BENCH_ACTQ", "0") == "1"
     gen = jax.jit(
         lambda p, b: medplib.generate(p, cfg, b, max_new_tokens=max_new,
                                       unroll_layers=unroll))
 
     if os.environ.get("BENCH_PHASES") == "1":
-        _phase_timings(params, cfg, batch, max_new, unroll)
+        _phase_timings(params, cfg, batch, max_new, unroll, actq)
 
     def run_once(b):
         res = gen(params, b)
@@ -145,8 +150,10 @@ def main():
         # synchronize with device execution, only a fetch does
         return float(jnp.sum(res.pred_masks))
 
-    log("compiling generate...")
-    run_once(batch)  # compile + warm
+    log("compiling generate..." + (" [W8A8 prefill]" if actq else ""))
+    from medplib_tpu.utils.quantize import dynamic_act_quant
+    with dynamic_act_quant(actq):   # flag is read at TRACE time
+        run_once(batch)  # compile + warm
     log("compile done")
     iters = 3 if SMALL else 5
     # pre-build perturbed inputs OUTSIDE the timed loop: an eager .at[].set()

@@ -96,6 +96,23 @@ def dequant_kernel(p: Params, dtype) -> jnp.ndarray:
     return kern
 
 
+def _use_w8a8(p: Params, x: jnp.ndarray) -> bool:
+    """W8A8 engages only when (a) tracing under dynamic_act_quant(), (b) the
+    node is weight-only-int8 2D (scan-body layer slice or plain kernel), and
+    (c) M is prefill-sized — decode stays weight-only (memory-bound; the
+    activation quant would cost fidelity for zero speedup)."""
+    if "scale" not in p or getattr(p["kernel"], "dtype", None) != jnp.int8 \
+            or p["kernel"].ndim != 2 or "lora_a" in p:
+        return False
+    from medplib_tpu.utils.quantize import act_quant_enabled
+    if not act_quant_enabled():
+        return False
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    return rows >= 512
+
+
 def linear(p: Params, x: jnp.ndarray, scale: float = 2.0) -> jnp.ndarray:
     """x @ kernel with optional LoRA path. `scale` = alpha / r.
 
@@ -106,8 +123,16 @@ def linear(p: Params, x: jnp.ndarray, scale: float = 2.0) -> jnp.ndarray:
     dequant), and unroll_layers=True (true 2D kernels) exceeds HBM at 7B
     because the per-layer KV stack can't alias in place. The Pallas kernel
     remains the right tool for the pack_inference wide kernels
-    (models/llama.py dense_mlp/_qkv packed branches)."""
-    y = x @ dequant_kernel(p, x.dtype)
+    (models/llama.py dense_mlp/_qkv packed branches).
+
+    Under utils/quantize.dynamic_act_quant(), large-M (prefill-regime)
+    matmuls on int8 nodes run W8A8: activations quantized per-row at
+    runtime and the matmul issued on the 2x-rate int8 MXU path."""
+    if _use_w8a8(p, x):
+        from medplib_tpu.utils.quantize import int8_dyn_matmul
+        y = int8_dyn_matmul(x, p["kernel"], p["scale"], transposed=False)
+    else:
+        y = x @ dequant_kernel(p, x.dtype)
     if "lora_a" in p:
         y = y + ((x @ p["lora_a"]) @ p["lora_b"]) * scale
     if "bias" in p:
@@ -119,7 +144,11 @@ def linear_t(p: Params, x: jnp.ndarray, scale: float = 2.0) -> jnp.ndarray:
     """Linear with a TRANSPOSED kernel [out, in] (attention q/k/v storage,
     see models/llama.py init_layer). LoRA adapters keep their usual
     [in, r]/[r, out] shapes."""
-    y = jnp.einsum("...i,oi->...o", x, dequant_kernel(p, x.dtype))
+    if _use_w8a8(p, x):
+        from medplib_tpu.utils.quantize import int8_dyn_matmul
+        y = int8_dyn_matmul(x, p["kernel"], p["scale"], transposed=True)
+    else:
+        y = jnp.einsum("...i,oi->...o", x, dequant_kernel(p, x.dtype))
     if "lora_a" in p:
         y = y + ((x @ p["lora_a"]) @ p["lora_b"]) * scale
     if "bias" in p:

@@ -138,3 +138,60 @@ def dequantize_matmul(x: jnp.ndarray, p: Dict, transposed: bool):
     if transposed:  # [.., out, in] kernels, scale [.., out, 1]
         return jnp.einsum("...i,oi->...o", x, w * scale)
     return x @ (w * scale)
+
+
+# ---------------------------------------------------------------------------
+# Dynamic activation quantization (W8A8 prefill)
+# ---------------------------------------------------------------------------
+# v5e's MXU runs int8 x int8 -> int32 at 2x the bf16 FLOP rate. For the
+# compute-bound prefill, quantizing activations per-row at runtime
+# (symmetric absmax, the SmoothQuant/LLM.int8-style dynamic scheme) and
+# issuing the matmul in int8 nearly halves the dominant cost. Decode stays
+# weight-only (memory-bound: activation quant buys nothing and costs
+# fidelity). Opt-in via the `dynamic_act_quant()` context (trace-time
+# flag); the serving bench enables it with BENCH_ACTQ=1.
+
+import contextlib
+import threading
+
+_ACT_QUANT = threading.local()
+
+
+def act_quant_enabled() -> bool:
+    return getattr(_ACT_QUANT, "on", False)
+
+
+@contextlib.contextmanager
+def dynamic_act_quant(enabled: bool = True):
+    """Enable W8A8 dynamic-activation matmuls for int8 weight nodes while
+    TRACING under this context (jit captures the choice)."""
+    prev = act_quant_enabled()
+    _ACT_QUANT.on = enabled
+    try:
+        yield
+    finally:
+        _ACT_QUANT.on = prev
+
+
+def int8_dyn_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
+                    transposed: bool) -> jnp.ndarray:
+    """y = x @ dequant(w) computed as (quant(x) @ w_q) * scales on the int8
+    MXU path. x [..., K] any float dtype; w_q [K, N] (+scale [1, N]) or
+    [N, K] (+scale [N, 1]) when transposed; per-row symmetric activation
+    scales."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    a_scale = jnp.maximum(absmax, 1e-12) / 127.0
+    x_q = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
+    if transposed:
+        y32 = jax.lax.dot_general(
+            x_q, w_q, (((x_q.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        w_s = w_scale.reshape(1, -1)
+    else:
+        y32 = jax.lax.dot_general(
+            x_q, w_q, (((x_q.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        w_s = w_scale.reshape(1, -1)
+    y = y32.astype(jnp.float32) * a_scale * w_s
+    return y.astype(x.dtype)

@@ -128,3 +128,44 @@ def test_pallas_int8_matmul_matches_xla_dequant():
             want = x @ (w.astype(np.float32) * s)
         np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3,
                                    atol=2e-3)
+
+
+def test_w8a8_dynamic_activation_matmul():
+    """int8_dyn_matmul (W8A8 prefill path) approximates the dequant matmul,
+    and lora.linear routes through it only under dynamic_act_quant() with
+    prefill-sized M."""
+    from medplib_tpu.train.lora import linear, linear_t
+    from medplib_tpu.utils.quantize import (dynamic_act_quant,
+                                            int8_dyn_matmul)
+    rng = np.random.default_rng(0)
+    K, N = 256, 512
+    w = rng.normal(size=(K, N)).astype(np.float32)
+    node = quantize_tree({"up_proj": {"kernel": jnp.asarray(w)}},
+                         skip=())["up_proj"]
+    x = jnp.asarray(rng.normal(size=(600, K)).astype(np.float32))
+    want = np.asarray(x) @ w
+    got = np.asarray(int8_dyn_matmul(x, node["kernel"], node["scale"],
+                                     transposed=False))
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 0.02, rel   # w8 + a8 double quantization error
+
+    # routing: only under the context AND only at prefill M
+    base = np.asarray(linear(node, x))
+    with dynamic_act_quant():
+        w8a8 = np.asarray(linear(node, x))
+        small = np.asarray(linear(node, x[:8]))
+    assert not np.allclose(w8a8, base)          # int8 MXU path engaged
+    np.testing.assert_allclose(                 # decode-sized M: unchanged
+        small, base[:8], rtol=1e-5, atol=1e-5)
+    rel = np.linalg.norm(w8a8 - want) / np.linalg.norm(want)
+    assert rel < 0.02, rel
+
+    # transposed layout
+    wt = rng.normal(size=(N, K)).astype(np.float32)
+    node_t = quantize_tree({"q_proj": {"kernel": jnp.asarray(wt)}},
+                           skip=())["q_proj"]
+    with dynamic_act_quant():
+        got_t = np.asarray(linear_t(node_t, x))
+    want_t = np.asarray(x) @ wt.T
+    rel = np.linalg.norm(got_t - want_t) / np.linalg.norm(want_t)
+    assert rel < 0.02, rel
