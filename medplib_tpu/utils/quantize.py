@@ -178,7 +178,18 @@ def int8_dyn_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     """y = x @ dequant(w) computed as (quant(x) @ w_q) * scales on the int8
     MXU path. x [..., K] any float dtype; w_q [K, N] (+scale [1, N]) or
     [N, K] (+scale [N, 1]) when transposed; per-row symmetric activation
-    scales."""
+    scales.
+
+    Headline-bench ladder at 7B int8 B=12 (v5e): baseline 12.0; this XLA
+    composition 12.29; the naive fused Pallas kernel 8.94 (VMEM budget at
+    K=11008 forced bm<=128 so weights re-streamed per tiny m-block); the
+    K-blocked Pallas kernel (ops/pallas/int8_matmul.w8a8_matmul*, int32
+    accumulator in VMEM scratch) 10.2 — better but still behind XLA, whose
+    emitter fuses the quant/rescale around the dot inside the layer scan
+    where every pallas_call operand is a materialized slice copy. The raw
+    s8xs8 MXU dot is 1.94x bf16 (373 vs 192 TF/s); the XLA composition
+    keeps ~2.4% end-to-end of it and remains the dispatch. The Pallas
+    kernels stay available for unstacked (non-scan) callers."""
     xf = x.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     a_scale = jnp.maximum(absmax, 1e-12) / 127.0

@@ -169,3 +169,31 @@ def test_w8a8_dynamic_activation_matmul():
     want_t = np.asarray(x) @ wt.T
     rel = np.linalg.norm(got_t - want_t) / np.linalg.norm(want_t)
     assert rel < 0.02, rel
+
+
+def test_pallas_w8a8_kernel_matches_reference():
+    """The fused W8A8 Pallas kernel (interpret mode on CPU) matches the
+    explicit quantize->dot->rescale composition, both layouts, padded N."""
+    from medplib_tpu.ops.pallas.int8_matmul import w8a8_matmul, w8a8_matmul_t
+    rng = np.random.default_rng(1)
+    M, K, N = 70, 256, 320
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+
+    def ref(xv, w, s, transposed):
+        xf = np.asarray(xv, np.float32)
+        am = np.maximum(np.abs(xf).max(-1, keepdims=True), 1e-12) / 127.0
+        xq = np.clip(np.round(xf / am), -127, 127)
+        wf = w.astype(np.float32)
+        y = (xq @ (wf.T if transposed else wf))
+        return y * am * (s.reshape(1, -1))
+
+    w = rng.integers(-127, 128, size=(K, N)).astype(np.int8)
+    s = rng.uniform(0.01, 0.1, size=(1, N)).astype(np.float32)
+    got = np.asarray(w8a8_matmul(x, jnp.asarray(w), jnp.asarray(s)))
+    np.testing.assert_allclose(got, ref(x, w, s, False), rtol=2e-3, atol=2e-3)
+
+    wt = rng.integers(-127, 128, size=(N, K)).astype(np.int8)
+    st = rng.uniform(0.01, 0.1, size=(N, 1)).astype(np.float32)
+    got_t = np.asarray(w8a8_matmul_t(x, jnp.asarray(wt), jnp.asarray(st)))
+    np.testing.assert_allclose(got_t, ref(x, wt, st, True), rtol=2e-3,
+                               atol=2e-3)
