@@ -116,19 +116,21 @@ def main():
         params["llm"] = llama.pack_inference(params["llm"])
         log("packed qkv/gateup")
 
-    use_int8 = os.environ.get("BENCH_QUANT", "int8") == "int8"
-    if use_int8:
-        # weight-only int8 serving config (utils/quantize.py, the
-        # bitsandbytes-equivalent path): halves LLM HBM -> bigger batch +
-        # ~2x faster weight-bound decode
+    quant = os.environ.get("BENCH_QUANT", "int8")
+    use_int8 = quant == "int8"
+    if quant in ("int8", "int4"):
+        # weight-only int8/int4 serving config (utils/quantize.py, the
+        # bitsandbytes-equivalent path): halves/quarters LLM HBM -> bigger
+        # batch + faster weight-bound decode
         from medplib_tpu.utils import quantize as qz
-        params = qz.quantize_tree(params)
+        params = qz.quantize_tree(params, bits=8 if use_int8 else 4)
         jax.block_until_ready(params)
-        log("quantized int8")
+        log(f"quantized {quant}")
 
     # default batch tracks the precision: int8 fits B=12, bf16 tops out at 3
     # (7B params + KV cache in 16G HBM, see docstring ladder)
-    B = int(os.environ.get("BENCH_B", "12" if use_int8 else "3"))
+    B = int(os.environ.get(
+        "BENCH_B", {"int8": "12", "int4": "16"}.get(quant, "3")))
     T_in = 48  # prompt tokens incl. <image> sentinel (splices to ~623)
     max_new = 10  # typical grounding answer: "It is <SEG>." + stop
     batch = ge._make_batch(cfg, B=B, T=T_in, rng=rng)

@@ -568,20 +568,36 @@ def stream_decode_chunk(params: Params, cfg: MedplibConfig,
     return new_state, jnp.moveaxis(toks, 0, 1), jnp.moveaxis(dones, 0, 1)
 
 
+def ground_seg_slots(params: Params, cfg: MedplibConfig,
+                     images_sam: jnp.ndarray, seg_emb: jnp.ndarray,
+                     seg_count: jnp.ndarray, last_cap: jnp.ndarray,
+                     out_size: Optional[int] = None):
+    """SAM encode + mask decode from captured SEG slots (fallback last_cap
+    in slot 0 when none). images_sam [B, S', S', 3]; seg_emb [B, S, out_dim];
+    seg_count [B]; last_cap [B, out_dim]
+    -> (mask logits [B, S, out, out], seg_valid [B, S]).
+
+    Shared by stream_ground (whole-batch streaming) and the
+    continuous-batching engine (per-slot grounding at retire,
+    serve/engine.py)."""
+    has_seg = seg_count > 0
+    seg_emb = seg_emb.at[:, 0].set(
+        jnp.where(has_seg[:, None], seg_emb[:, 0],
+                  last_cap.astype(seg_emb.dtype)))
+    sam_emb = sam_med2d.encode_image(params["sam"]["image_encoder"],
+                                     images_sam, cfg.sam)
+    masks, _ = decode_seg_masks(params, cfg, sam_emb, seg_emb,
+                                out_size or cfg.sam.image_size)
+    s = seg_emb.shape[1]
+    seg_valid = jnp.arange(s)[None, :] < seg_count[:, None]
+    return masks, seg_valid
+
+
 def stream_ground(params: Params, cfg: MedplibConfig, batch: Batch,
                   state: StreamState,
                   out_size: Optional[int] = None):
     """Final grounding for a finished stream: SAM encode + mask decode from
     every captured SEG slot (fallback last_cap in slot 0 when none).
     -> (mask logits [B, S, out, out], seg_valid [B, S])."""
-    has_seg = state.seg_count > 0
-    seg_emb = state.seg_emb.at[:, 0].set(
-        jnp.where(has_seg[:, None], state.seg_emb[:, 0],
-                  state.last_cap.astype(state.seg_emb.dtype)))
-    sam_emb = sam_med2d.encode_image(params["sam"]["image_encoder"],
-                                     batch.images_sam, cfg.sam)
-    masks, _ = decode_seg_masks(params, cfg, sam_emb, seg_emb,
-                                out_size or cfg.sam.image_size)
-    s = state.seg_emb.shape[1]
-    seg_valid = jnp.arange(s)[None, :] < state.seg_count[:, None]
-    return masks, seg_valid
+    return ground_seg_slots(params, cfg, batch.images_sam, state.seg_emb,
+                            state.seg_count, state.last_cap, out_size)

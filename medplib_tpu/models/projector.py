@@ -61,10 +61,14 @@ def init_projector(key, cfg: ProjectorConfig, dtype=jnp.float32) -> Params:
 
 
 def apply_projector(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    # lora.linear, not a raw matmul: the projector is quantize-eligible
+    # (int8/int4 serving trees carry {kernel, scale/scale4} here) and may
+    # carry LoRA adapters
+    from medplib_tpu.train.lora import linear
     for i, lin in enumerate(p["layers"]):
         if i > 0:
             x = jax.nn.gelu(x, approximate=False)  # torch nn.GELU default
-        x = x @ lin["kernel"] + lin["bias"]
+        x = linear(lin, x)
     return x
 
 

@@ -28,8 +28,9 @@ def sample_token(key: jax.Array, logits: jnp.ndarray,
     top_p keeps the smallest prefix of the descending-probability vocab
     whose mass reaches top_p (the top-1 token is always kept).
     """
-    logits = logits.astype(jnp.float32) / jnp.maximum(
-        jnp.asarray(temperature, jnp.float32), 1e-6)
+    t = jnp.asarray(temperature, jnp.float32)
+    raw = logits.astype(jnp.float32)
+    logits = raw / jnp.maximum(t, 1e-6)
     sorted_logits = jnp.flip(jnp.sort(logits, axis=-1), axis=-1)
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
@@ -38,7 +39,13 @@ def sample_token(key: jax.Array, logits: jnp.ndarray,
     min_kept = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1,
                        keepdims=True)
     filtered = jnp.where(logits >= min_kept, logits, -jnp.inf)
-    return jax.random.categorical(key, filtered, axis=-1)
+    sampled = jax.random.categorical(key, filtered, axis=-1)
+    # rows whose temperature is below the greedy threshold take an EXACT
+    # argmax (model_worker.py:420-425 routes temperature < 1e-4 to argmax) —
+    # lets one compiled program serve a batch mixing greedy and sampled
+    # requests (serve/engine.py) without tie-breaking drift at tiny t
+    greedy_rows = jnp.broadcast_to(t, raw.shape)[..., 0] < 1e-4
+    return jnp.where(greedy_rows, jnp.argmax(raw, axis=-1), sampled)
 
 
 def select_token(logits: jnp.ndarray, key: jax.Array, do_sample: bool,

@@ -1,0 +1,291 @@
+"""Continuous-batching serving engine: fixed decode slots over ONE shared
+KV-cache state.
+
+The reference worker serves strictly sequentially — a semaphore around a
+per-request HF generate loop (/root/reference/model/serve/model_worker.py:
+577-592, 393-427) — so a busy GPU decodes batch-1 no matter how many
+requests queue. This engine is the TPU-first upgrade: requests are admitted
+into free slots of a static-shape batch as they arrive and retired on
+EOS/budget, so every decode step runs the full slot batch on the MXU.
+
+Design (all static shapes, three compiled programs total):
+- admit: per-request B=1 prefill (medplib.stream_prefill) then a jitted
+  per-slot insertion into the shared StreamState via
+  `dynamic_update_slice_in_dim` on the batch axis (slot index is traced —
+  one compile covers every slot).
+- decode: medplib.stream_decode_chunk over all slots. One greedy program;
+  one sampling program whose per-ROW temperature/top_p arrays let a single
+  compile serve any mix of greedy and sampled requests (rows with
+  temperature < 1e-4 take an exact argmax inside ops/sampling.sample_token).
+- retire: the slot's SEG capture fields are sliced out (jitted) before the
+  slot is reused; grounding (SAM encode + mask decode) runs per retired
+  request, off the decode hot path.
+
+The engine state is donated through both insert and decode, so the multi-GB
+KV cache never holds two copies.
+"""
+
+from __future__ import annotations
+
+import functools
+import queue
+import threading
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medplib_tpu.config import MedplibConfig
+from medplib_tpu.models import llama, medplib
+
+
+class Request:
+    """Handle returned by BatchedEngine.submit. Iterate to receive token-id
+    chunks; after iteration ends, ground() returns (mask logits, seg_valid)
+    for the captured SEG slots (or None when the answer had no <SEG>)."""
+
+    def __init__(self, batch: medplib.Batch, region: bool,
+                 temperature: float, top_p: float, seed: Optional[int],
+                 max_new_tokens: int):
+        self.batch = batch
+        self.region = region
+        self.temperature = float(temperature)
+        self.top_p = float(top_p)
+        self.seed = seed
+        self.max_new_tokens = max_new_tokens
+        self.do_sample = self.temperature >= 1e-4
+        self.chunks: "queue.Queue[Optional[List[int]]]" = queue.Queue()
+        self.emitted = 0
+        self.error: Optional[BaseException] = None
+        self._seg = None      # (seg_emb [1,S,H], seg_count [1], last_cap [1,H])
+        self._engine: Optional["BatchedEngine"] = None
+
+    def __iter__(self):
+        while True:
+            item = self.chunks.get()
+            if item is None:
+                if self.error is not None:
+                    raise self.error
+                return
+            yield item
+
+    def tokens(self) -> List[int]:
+        """Drain the stream and return all generated token ids."""
+        out: List[int] = []
+        for chunk in self:
+            out.extend(chunk)
+        return out
+
+    def ground(self, out_size: Optional[int] = None):
+        """SAM grounding for the finished request -> (mask logits
+        [1, S, out, out], seg_valid [1, S]); None if no SEG was captured."""
+        if self._seg is None:
+            raise RuntimeError("ground() before the stream finished")
+        seg_emb, seg_count, last_cap = self._seg
+        if int(np.asarray(seg_count)[0]) == 0:
+            return None
+        return self._engine._ground(seg_emb, seg_count, last_cap,
+                                    self.batch, out_size)
+
+
+class BatchedEngine:
+    def __init__(self, cfg: MedplibConfig, params, *, slots: int = 4,
+                 max_new_tokens: int = 256, chunk: int = 8, eos_id: int = 2,
+                 prefill_tokens: Optional[int] = None):
+        """`prefill_tokens` is unused (the collator fixes the prompt shape);
+        kept so callers can document their shape contract."""
+        self.cfg, self.params = cfg, params
+        self.slots = slots
+        self.chunk = chunk
+        self.eos_id = eos_id
+        # the shared cache must cover whole chunks for the longest request
+        self.decode_budget = -(-max_new_tokens // chunk) * chunk
+        self.max_new_tokens = max_new_tokens
+
+        def mk_prefill(rp: bool, ds: bool):
+            return jax.jit(lambda p, b, t, tp, k: medplib.stream_prefill(
+                p, cfg, b, max_new_tokens=self.decode_budget, rp_flag=rp,
+                do_sample=ds, temperature=t, top_p=tp, rng=k))
+
+        self._prefills = {(rp, ds): mk_prefill(rp, ds)
+                          for rp in (False, True) for ds in (False, True)}
+        self._chunk_greedy = jax.jit(
+            lambda p, st: medplib.stream_decode_chunk(
+                p, cfg, st, chunk=chunk, eos_id=eos_id),
+            donate_argnums=(1,))
+        self._chunk_sample = jax.jit(
+            lambda p, st, t, tp: medplib.stream_decode_chunk(
+                p, cfg, st, chunk=chunk, eos_id=eos_id, do_sample=True,
+                temperature=t, top_p=tp),
+            donate_argnums=(1,))
+        self._insert = jax.jit(self._insert_impl, donate_argnums=(0,))
+        self._make_empty = jax.jit(functools.partial(
+            self._make_empty_impl, slots=slots), static_argnames=("slots",))
+        self._extract = jax.jit(self._extract_impl)
+        self._ground_fn = jax.jit(
+            lambda p, img, se, sc, lc: medplib.ground_seg_slots(
+                p, cfg, img, se, sc, lc))
+
+        self._pending: "queue.Queue[Request]" = queue.Queue()
+        self._slot_req: List[Optional[Request]] = [None] * slots
+        self._state: Optional[medplib.StreamState] = None
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ---- device programs ----
+
+    @staticmethod
+    def _insert_impl(big: medplib.StreamState, small: medplib.StreamState,
+                     slot: jnp.ndarray) -> medplib.StreamState:
+        def up(b, s, axis):
+            return jax.lax.dynamic_update_slice_in_dim(
+                b, s.astype(b.dtype), slot, axis)
+
+        cache = llama.KVCache(
+            k=up(big.cache.k, small.cache.k, 1),
+            v=up(big.cache.v, small.cache.v, 1),
+            length=up(big.cache.length, small.cache.length, 0))
+        return medplib.StreamState(
+            cache=cache,
+            tok=up(big.tok, small.tok, 0),
+            done=up(big.done, small.done, 0),
+            seg_emb=up(big.seg_emb, small.seg_emb, 0),
+            seg_count=up(big.seg_count, small.seg_count, 0),
+            last_cap=up(big.last_cap, small.last_cap, 0),
+            rng=small.rng)
+
+    @staticmethod
+    def _make_empty_impl(small: medplib.StreamState,
+                         slots: int) -> medplib.StreamState:
+        def z(a, axis):
+            sh = list(a.shape)
+            sh[axis] = slots
+            return jnp.zeros(sh, a.dtype)
+
+        cache = llama.KVCache(k=z(small.cache.k, 1), v=z(small.cache.v, 1),
+                              length=z(small.cache.length, 0))
+        return medplib.StreamState(
+            cache=cache, tok=z(small.tok, 0),
+            done=jnp.ones((slots,), bool),  # free slots never generate
+            seg_emb=z(small.seg_emb, 0), seg_count=z(small.seg_count, 0),
+            last_cap=z(small.last_cap, 0), rng=small.rng)
+
+    @staticmethod
+    def _extract_impl(state: medplib.StreamState, slot: jnp.ndarray):
+        def sl(a):
+            return jax.lax.dynamic_slice_in_dim(a, slot, 1, 0)
+
+        return sl(state.seg_emb), sl(state.seg_count), sl(state.last_cap)
+
+    def _ground(self, seg_emb, seg_count, last_cap, batch, out_size):
+        if out_size is not None:
+            # out_size is static in decode_seg_masks; bypass the cached jit
+            return medplib.ground_seg_slots(
+                self.params, self.cfg, batch.images_sam, seg_emb, seg_count,
+                last_cap, out_size)
+        return self._ground_fn(self.params, batch.images_sam, seg_emb,
+                               seg_count, last_cap)
+
+    # ---- public API ----
+
+    def submit(self, batch: medplib.Batch, *, region: bool = False,
+               temperature: float = 0.0, top_p: float = 1.0,
+               seed: Optional[int] = None,
+               max_new_tokens: Optional[int] = None) -> Request:
+        """batch must be a B=1 collated Batch with the engine's fixed prompt
+        shape (the collator's max_seq_len contract)."""
+        if batch.input_ids.shape[0] != 1:
+            raise ValueError("engine requests are single-sample batches")
+        r = Request(batch, region, temperature, top_p, seed,
+                    min(max_new_tokens or self.max_new_tokens,
+                        self.decode_budget))
+        r._engine = self
+        self._pending.put(r)
+        return r
+
+    def shutdown(self):
+        self._stop.set()
+        self._thread.join(timeout=10)
+
+    @property
+    def active_requests(self) -> int:
+        return sum(r is not None for r in self._slot_req) + \
+            self._pending.qsize()
+
+    # ---- engine loop ----
+
+    def _admit(self, r: Request):
+        key = jax.random.PRNGKey(int(r.seed) if r.seed is not None
+                                 else time.time_ns() & 0x7FFFFFFF)
+        small = self._prefills[(r.region, r.do_sample)](
+            self.params, r.batch, r.temperature, r.top_p, key)
+        if self._state is None:
+            self._state = self._make_empty(small)
+        slot = self._slot_req.index(None)
+        self._state = self._insert(self._state, small, jnp.int32(slot))
+        self._slot_req[slot] = r
+
+    def _retire(self, slot: int):
+        r = self._slot_req[slot]
+        r._seg = self._extract(self._state, jnp.int32(slot))
+        self._slot_req[slot] = None
+        r.chunks.put(None)
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                self._loop_once()
+            except BaseException as e:  # noqa: BLE001 - engine boundary
+                # fail every in-flight request, drop the state, keep serving
+                for i, r in enumerate(self._slot_req):
+                    if r is not None:
+                        r.error = e
+                        r._seg = None
+                        self._slot_req[i] = None
+                        r.chunks.put(None)
+                self._state = None
+
+    def _loop_once(self):
+        # admit as many pending requests as there are free slots
+        while None in self._slot_req:
+            try:
+                block = all(r is None for r in self._slot_req)
+                r = self._pending.get(block=block, timeout=0.2)
+            except queue.Empty:
+                break
+            try:
+                self._admit(r)
+            except BaseException as e:  # noqa: BLE001
+                r.error = e
+                r.chunks.put(None)
+        active = [i for i, r in enumerate(self._slot_req) if r is not None]
+        if not active:
+            return
+
+        if any(self._slot_req[i].do_sample for i in active):
+            temps = np.zeros((self.slots, 1), np.float32)
+            tops = np.ones((self.slots, 1), np.float32)
+            for i in active:
+                temps[i, 0] = self._slot_req[i].temperature
+                tops[i, 0] = self._slot_req[i].top_p
+            self._state, toks, dones = self._chunk_sample(
+                self.params, self._state, jnp.asarray(temps),
+                jnp.asarray(tops))
+        else:
+            self._state, toks, dones = self._chunk_greedy(self.params,
+                                                          self._state)
+        toks = np.asarray(toks)
+        dones = np.asarray(dones)
+        done_now = np.asarray(self._state.done)
+        for slot in active:
+            r = self._slot_req[slot]
+            fresh = [int(t) for t, d in zip(toks[slot], dones[slot])
+                     if not d and int(t) > 0][: r.max_new_tokens - r.emitted]
+            r.emitted += int(np.sum(~dones[slot]))
+            if fresh:
+                r.chunks.put(fresh)
+            if bool(done_now[slot]) or r.emitted >= r.max_new_tokens:
+                self._retire(slot)

@@ -35,6 +35,42 @@ from medplib_tpu.models import medplib
 from medplib_tpu.serve import protocol
 
 
+class _IncrementalDetok:
+    """O(n) streaming detokenization with overlap-anchored commits: only
+    tokens past `committed` are re-decoded each chunk; a small uncommitted
+    tail is held back because tokenizers can merge text across token
+    boundaries (sentencepiece leading-space markers)."""
+
+    HOLDBACK = 8
+
+    def __init__(self, tok):
+        self.tok = tok
+        self.toks: list = []
+        self.committed = 0
+        self.committed_text = ""
+
+    def _tail_text(self, upto: int) -> str:
+        ws = max(0, self.committed - self.HOLDBACK)
+        prev = self.tok.decode(self.toks[ws:self.committed],
+                               skip_special_tokens=False)
+        cur = self.tok.decode(self.toks[ws:upto], skip_special_tokens=False)
+        return cur[len(prev):]
+
+    def extend(self, new_toks) -> str:
+        """Append tokens, return the full text so far."""
+        self.toks.extend(int(t) for t in new_toks)
+        if len(self.toks) - self.committed > 2 * self.HOLDBACK:
+            commit_to = len(self.toks) - self.HOLDBACK
+            self.committed_text += self._tail_text(commit_to)
+            self.committed = commit_to
+        return (self.committed_text + self._tail_text(len(self.toks))
+                ).replace("</s>", "")
+
+    def final(self) -> str:
+        return (self.committed_text + self._tail_text(len(self.toks))
+                ).replace("</s>", "").strip()
+
+
 class ModelWorker:
     def __init__(self, cfg: MedplibConfig, params, tokenizer,
                  model_name: str = "medplib-tpu",
@@ -43,7 +79,8 @@ class ModelWorker:
                  limit_concurrency: int = 2,
                  max_seq_len: int = 512, max_new_tokens: int = 256,
                  stream_interval: int = 2,
-                 conv_template: str = "v1"):
+                 conv_template: str = "v1",
+                 batched_slots: int = 0):
         self.cfg, self.params, self.tok = cfg, params, tokenizer
         self.model_name = model_name
         self.controller_url = controller_url
@@ -89,6 +126,17 @@ class ModelWorker:
                 do_sample=True, temperature=t, top_p=tp))
         self._ground = jax.jit(
             lambda p, b, st: medplib.stream_ground(p, cfg, b, st))
+        # continuous batching: concurrent requests share one decode batch
+        # (serve/engine.py) instead of serializing behind the semaphore —
+        # the TPU-first upgrade over the reference's sequential worker
+        self.engine = None
+        if batched_slots > 0:
+            from medplib_tpu.serve.engine import BatchedEngine
+            self.engine = BatchedEngine(
+                cfg, params, slots=batched_slots,
+                max_new_tokens=max_new_tokens, chunk=stream_interval,
+                eos_id=eos)
+            self.semaphore = threading.Semaphore(batched_slots * 4)
         if controller_url:
             self.register()
             t = threading.Thread(target=self._heartbeat_loop, daemon=True)
@@ -175,69 +223,60 @@ class ModelWorker:
         arrays, meta = collate([sample], self.cc)
         batch = to_model_batch(arrays)
         seed = payload.get("seed")
-        key = jax.random.PRNGKey(int(seed) if seed is not None
-                                 else time.time_ns() & 0x7FFFFFFF)
-        state = self._prefills[(region is not None, do_sample)](
-            self.params, batch, temperature, top_p, key)
 
-        toks = []
-        steps = 0
-        # incremental detokenization: only tokens past `committed` are
-        # re-decoded each chunk (tokenizers can merge text across token
-        # boundaries, so hold back a small uncommitted tail instead of
-        # re-decoding the whole list -> O(n) total instead of O(n^2))
-        committed = 0          # tokens whose text is final
-        committed_text = ""
-        HOLDBACK = 8
-        while steps < self.max_new_tokens:
-            if do_sample:
-                state, chunk_toks, chunk_done = self._chunk_sample(
-                    self.params, state, temperature, top_p)
-            else:
-                state, chunk_toks, chunk_done = self._chunk(self.params,
-                                                            state)
-            done_np = np.asarray(chunk_done)[0]
-            for t, was_done in zip(np.asarray(chunk_toks)[0], done_np):
-                if not was_done and int(t) > 0 and \
-                        len(toks) < self.max_new_tokens:
-                    toks.append(int(t))
-            steps += chunk_toks.shape[1]
+        detok = _IncrementalDetok(self.tok)
 
-            def tail_text(upto):
-                # decode with a token overlap before `committed` so
-                # sentencepiece's leading-space markers survive slicing
-                ws = max(0, committed - HOLDBACK)
-                prev = self.tok.decode(toks[ws:committed],
-                                       skip_special_tokens=False)
-                cur = self.tok.decode(toks[ws:upto],
-                                      skip_special_tokens=False)
-                return cur[len(prev):]
+        def text_chunk(text):
+            return json.dumps({"text": text, "mask": [], "height": "0",
+                               "width": "0",
+                               "error_code": protocol.ERROR_CODE_OK}
+                              ).encode() + protocol.STREAM_DELIMITER
 
-            if len(toks) - committed > 2 * HOLDBACK:
-                commit_to = len(toks) - HOLDBACK
-                committed_text += tail_text(commit_to)
-                committed = commit_to
-            text = (committed_text + tail_text(len(toks))
-                    ).replace("</s>", "")
-            yield json.dumps({"text": text, "mask": [], "height": "0",
-                              "width": "0",
-                              "error_code": protocol.ERROR_CODE_OK}
-                             ).encode() + protocol.STREAM_DELIMITER
-            if bool(done_np[-1]) or bool(np.asarray(state.done)[0]):
-                break
+        if self.engine is not None:
+            # continuous batching: the engine coalesces this request with
+            # every other in-flight one into a single decode batch
+            req = self.engine.submit(
+                batch, region=region is not None,
+                temperature=temperature if do_sample else 0.0, top_p=top_p,
+                seed=seed, max_new_tokens=self.max_new_tokens)
+            for chunk_toks in req:
+                yield text_chunk(detok.extend(chunk_toks))
+            grounded = req.ground()
+            masks0 = (np.asarray(grounded[0])[0, 0]
+                      if grounded is not None else None)
+        else:
+            key = jax.random.PRNGKey(int(seed) if seed is not None
+                                     else time.time_ns() & 0x7FFFFFFF)
+            state = self._prefills[(region is not None, do_sample)](
+                self.params, batch, temperature, top_p, key)
+            steps = 0
+            while steps < self.max_new_tokens:
+                if do_sample:
+                    state, chunk_toks, chunk_done = self._chunk_sample(
+                        self.params, state, temperature, top_p)
+                else:
+                    state, chunk_toks, chunk_done = self._chunk(self.params,
+                                                                state)
+                done_np = np.asarray(chunk_done)[0]
+                fresh = [int(t) for t, was_done
+                         in zip(np.asarray(chunk_toks)[0], done_np)
+                         if not was_done and int(t) > 0][
+                             : self.max_new_tokens - len(detok.toks)]
+                steps += chunk_toks.shape[1]
+                yield text_chunk(detok.extend(fresh))
+                if bool(done_np[-1]) or bool(np.asarray(state.done)[0]):
+                    break
+            masks0 = None
+            # skip the full SAM forward for non-segmentation requests
+            if int(np.asarray(state.seg_count)[0]) > 0:
+                masks, _ = self._ground(self.params, batch, state)
+                masks0 = np.asarray(masks)[0, 0]
 
-        ws = max(0, committed - HOLDBACK)
-        prev = self.tok.decode(toks[ws:committed], skip_special_tokens=False)
-        cur = self.tok.decode(toks[ws:], skip_special_tokens=False)
-        text = (committed_text + cur[len(prev):]
-                ).replace("</s>", "").strip()
+        text = detok.final()
         encoded_mask, h, w = [], 0, 0
-        # skip the full SAM forward for non-segmentation requests
-        if int(np.asarray(state.seg_count)[0]) > 0:
-            masks, _ = self._ground(self.params, batch, state)
-            logits = np.asarray(masks)[0, 0]
+        if masks0 is not None:
             pred = pp.unpad_and_resize_mask(
-                logits, sample["resize_hw"], sample["original_hw"])
+                masks0, sample["resize_hw"], sample["original_hw"])
             encoded_mask, h, w = protocol.encode_sparse_mask(
                 binarize_logits(pred))
         yield json.dumps({"text": text, "mask": encoded_mask,

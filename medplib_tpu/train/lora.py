@@ -81,7 +81,11 @@ def dequant_kernel(p: Params, dtype) -> jnp.ndarray:
         w = jnp.stack([lo, hi], axis=axis + 1)
         full = kern.shape[:axis] + (2 * kern.shape[axis],) + \
             kern.shape[axis + 1:]
-        w = w.reshape(full).astype(jnp.float32)
+        # dequant in the TARGET dtype: an f32 intermediate doubles the
+        # materialized kernel (the interleave keeps XLA from fusing the
+        # unpack into the matmul operand read, unlike the int8 path below)
+        w = w.reshape(full).astype(dtype)
+        s = s.astype(dtype)
         if transposed:
             nb = s.shape[-2]
             w = (w.reshape(w.shape[:-1] + (nb, w.shape[-1] // nb)) * s
@@ -90,7 +94,7 @@ def dequant_kernel(p: Params, dtype) -> jnp.ndarray:
             nb = s.shape[-3]
             w = (w.reshape(w.shape[:-2] + (nb, w.shape[-2] // nb,
                                            w.shape[-1])) * s).reshape(full)
-        return w.astype(dtype)
+        return w
     if kern.dtype == jnp.int8:
         return kern.astype(dtype) * p["scale"].astype(dtype)
     return kern

@@ -1,0 +1,200 @@
+"""Continuous-batching engine: batching invariance vs the single-stream
+path, slot reuse under oversubscription, mixed greedy/sampled batches, and
+per-request SEG grounding."""
+
+import jax
+import numpy as np
+import pytest
+
+from medplib_tpu.config import MedplibConfig
+from medplib_tpu.data.dataset import CollatorConfig, collate, to_model_batch
+from medplib_tpu.data import tokenize as tk
+from medplib_tpu.data import preprocess as pp
+from medplib_tpu.models import medplib
+from medplib_tpu.serve.engine import BatchedEngine
+
+
+class SegTok:
+    bos_token_id = 1
+    pad_token_id = 0
+    eos_token_id = 2
+    model_max_length = 64
+
+    def __init__(self, seg_idx):
+        self.seg_idx = seg_idx
+
+    def __call__(self, text, add_special_tokens=True):
+        ids = [1] if add_special_tokens else []
+        for w in text.split():
+            ids.append(self.seg_idx if w == "<SEG>" else 3 + hash(w) % 300)
+
+        class R:
+            pass
+
+        r = R()
+        r.input_ids = ids
+        return r
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = MedplibConfig.tiny()
+    params = medplib.init_medplib(jax.random.PRNGKey(0), cfg)
+    tok = SegTok(cfg.seg_token_idx)
+    cc = CollatorConfig(max_seq_len=48,
+                        image_tokens=cfg.vision.num_patches,
+                        sam_image_size=cfg.sam.image_size,
+                        clip_image_size=cfg.vision.image_size)
+    return cfg, params, tok, cc
+
+
+def _make_batch(cfg, tok, cc, prompt, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.uniform(0, 255, (40, 56, 3)).astype(np.uint8)
+    image_sam, resize_hw = pp.preprocess_sam(img, cfg.sam.image_size)
+    image_clip = pp.preprocess_clip(img, cfg.vision.image_size)
+    ids = tk.tokenizer_image_token(prompt, tok)
+    sample = {
+        "input_ids": np.asarray(ids, np.int64),
+        "labels": np.full(len(ids), -100, np.int64),
+        "image_clip": image_clip, "image_sam": image_sam,
+        "resize_hw": resize_hw, "original_hw": img.shape[:2],
+        "gt_masks": [], "gt_masks_original": [], "question": [prompt],
+        "gt": [""], "image_path": None, "answer_type": None,
+    }
+    arrays, _ = collate([sample], cc)
+    return to_model_batch(arrays)
+
+
+def _reference_tokens(cfg, params, batch, budget, chunk, eos=2):
+    """Single-request stream path (what the worker runs today)."""
+    state = medplib.stream_prefill(params, cfg, batch,
+                                   max_new_tokens=budget)
+    toks = []
+    steps = 0
+    while steps < budget:
+        state, ct, cd = medplib.stream_decode_chunk(params, cfg, state,
+                                                    chunk=chunk, eos_id=eos)
+        for t, d in zip(np.asarray(ct)[0], np.asarray(cd)[0]):
+            if not d and int(t) > 0 and len(toks) < budget:
+                toks.append(int(t))
+        steps += chunk
+        if bool(np.asarray(cd)[0][-1]) or bool(np.asarray(state.done)[0]):
+            break
+    return toks, state
+
+
+PROMPTS = [
+    "USER: <image>\nWhat is this? ASSISTANT:",
+    "USER: <image>\nPlease segment the lesion <SEG> now ASSISTANT:",
+    "USER: <image>\nDescribe the finding in detail ASSISTANT:",
+    "USER: <image>\nIs there an abnormality? ASSISTANT:",
+    "USER: <image>\nWhere is the organ? ASSISTANT:",
+]
+
+
+def test_engine_matches_single_stream_and_reuses_slots(tiny):
+    """5 greedy requests through a 2-slot engine must each reproduce the
+    sequential single-request stream token-for-token (batching invariance),
+    forcing slot reuse along the way."""
+    cfg, params, tok, cc = tiny
+    budget, chunk = 8, 4
+    batches = [_make_batch(cfg, tok, cc, p, seed=i)
+               for i, p in enumerate(PROMPTS)]
+    want = [_reference_tokens(cfg, params, b, budget, chunk)[0]
+            for b in batches]
+
+    eng = BatchedEngine(cfg, params, slots=2, max_new_tokens=budget,
+                        chunk=chunk)
+    try:
+        reqs = [eng.submit(b, temperature=0.0) for b in batches]
+        got = [r.tokens() for r in reqs]
+        assert got == want
+        assert all(r.error is None for r in reqs)
+        assert eng.active_requests == 0
+    finally:
+        eng.shutdown()
+
+
+def test_engine_mixed_greedy_and_sampled(tiny):
+    """A greedy request batched WITH a sampled one still gets exact-argmax
+    tokens (per-row temperature routing in ops/sampling.sample_token)."""
+    cfg, params, tok, cc = tiny
+    budget, chunk = 8, 4
+    b_greedy = _make_batch(cfg, tok, cc, PROMPTS[0], seed=0)
+    b_sample = _make_batch(cfg, tok, cc, PROMPTS[2], seed=1)
+    want, _ = _reference_tokens(cfg, params, b_greedy, budget, chunk)
+
+    eng = BatchedEngine(cfg, params, slots=2, max_new_tokens=budget,
+                        chunk=chunk)
+    try:
+        rg = eng.submit(b_greedy, temperature=0.0)
+        rs = eng.submit(b_sample, temperature=0.9, top_p=0.9, seed=7)
+        got = rg.tokens()
+        sampled = rs.tokens()
+        assert got == want
+        assert all(0 < t for t in sampled)
+    finally:
+        eng.shutdown()
+
+
+def test_engine_grounding_matches_stream_ground(tiny):
+    """A prompt carrying <SEG> grounds per-request; the mask must equal the
+    single-stream stream_ground result."""
+    cfg, params, tok, cc = tiny
+    budget, chunk = 4, 4
+    batch = _make_batch(cfg, tok, cc, PROMPTS[1], seed=1)
+    _, ref_state = _reference_tokens(cfg, params, batch, budget, chunk)
+    ref_masks, ref_valid = medplib.stream_ground(params, cfg, batch,
+                                                 ref_state)
+
+    eng = BatchedEngine(cfg, params, slots=2, max_new_tokens=budget,
+                        chunk=chunk)
+    try:
+        r = eng.submit(batch, temperature=0.0)
+        r.tokens()
+        out = r.ground()
+        assert out is not None
+        masks, valid = out
+        np.testing.assert_array_equal(np.asarray(valid),
+                                      np.asarray(ref_valid))
+        np.testing.assert_allclose(np.asarray(masks, np.float32),
+                                   np.asarray(ref_masks, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+
+        # a request with no SEG grounds to None
+        r2 = eng.submit(_make_batch(cfg, tok, cc, PROMPTS[0]),
+                        temperature=0.0)
+        r2.tokens()
+        assert r2.ground() is None
+    finally:
+        eng.shutdown()
+
+
+def test_engine_bad_request_fails_only_itself(tiny):
+    """A request with a wrong shape errors its own handle; the engine keeps
+    serving later requests."""
+    cfg, params, tok, cc = tiny
+    eng = BatchedEngine(cfg, params, slots=2, max_new_tokens=4, chunk=4)
+    try:
+        good = _make_batch(cfg, tok, cc, PROMPTS[0])
+        with pytest.raises(ValueError):
+            eng.submit(jax.tree_util.tree_map(
+                lambda a: np.concatenate([a, a], 0), good))
+        want = _reference_tokens(cfg, params, good, 4, 4)[0]
+        assert eng.submit(good, temperature=0.0).tokens() == want
+        # a prompt collated LONGER than the engine's max_seq_len violates the
+        # fixed-shape contract: its KV cache can't insert into the shared one
+        # (a SHORTER collation inserts fine — the update slice is a sub-block)
+        bad_cc = CollatorConfig(max_seq_len=96,
+                                image_tokens=cfg.vision.num_patches,
+                                sam_image_size=cfg.sam.image_size,
+                                clip_image_size=cfg.vision.image_size)
+        rb = eng.submit(_make_batch(cfg, tok, bad_cc, PROMPTS[0]),
+                        temperature=0.0)
+        with pytest.raises(BaseException):
+            rb.tokens()
+        # the engine keeps serving correct requests afterwards
+        assert eng.submit(good, temperature=0.0).tokens() == want
+    finally:
+        eng.shutdown()

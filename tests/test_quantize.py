@@ -197,3 +197,32 @@ def test_pallas_w8a8_kernel_matches_reference():
     got_t = np.asarray(w8a8_matmul_t(x, jnp.asarray(wt), jnp.asarray(st)))
     np.testing.assert_allclose(got_t, ref(x, wt, st, True), rtol=2e-3,
                                atol=2e-3)
+
+
+def test_quantized_projector_applies_scales():
+    """Regression: apply_projector consumed raw int8 kernels without their
+    scales (and nibble-packed int4 kernels without unpacking — a shape
+    error). The projector is quantize-eligible (not in SKIP_MODULES), so it
+    must route through the dequant-aware linear."""
+    import copy
+
+    from medplib_tpu.config import ProjectorConfig
+    from medplib_tpu.models import projector
+
+    cfg = ProjectorConfig(projector_type="mlp2x_gelu", mm_hidden_size=128,
+                          hidden_size=128)
+    params = projector.init_projector(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 128))
+    y_fp = projector.apply_projector(params, x)
+    for bits in (8, 4):
+        qp = quantize_tree(copy.deepcopy({"mm_projector": params}),
+                           bits=bits)["mm_projector"]
+        kern = qp["layers"][0]["kernel"]
+        assert kern.dtype == jnp.int8  # actually quantized (not skipped)
+        if bits == 4:
+            assert kern.shape[0] == 64  # nibble-packed along the in axis
+        y_q = projector.apply_projector(qp, x)
+        assert y_q.shape == y_fp.shape
+        rel = float(jnp.linalg.norm(y_q - y_fp) / jnp.linalg.norm(y_fp))
+        # int4 noise compounds through the 2-layer GELU MLP at this size
+        assert rel < (0.25 if bits == 4 else 0.06), (bits, rel)

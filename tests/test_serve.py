@@ -245,3 +245,58 @@ def test_web_ui_serves_page_and_proxies(tmp_path):
         assert e.code == 400
     for s in (ui, csrv, wsrv):
         s.shutdown()
+
+
+def test_batched_worker_concurrent_requests_match_sequential():
+    """batched_slots routes requests through the continuous-batching engine
+    (serve/engine.py): concurrent greedy requests must return exactly what
+    the sequential worker returns for the same payloads."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    cfg = MedplibConfig.tiny()
+    params = medplib.init_medplib(jax.random.PRNGKey(0), cfg)
+
+    def mk_worker(slots):
+        w = wk.ModelWorker(cfg, params, FakeTok(), max_seq_len=48,
+                           max_new_tokens=4, batched_slots=slots)
+        w.cc.image_tokens = cfg.vision.num_patches
+        w.cc.sam_image_size = cfg.sam.image_size
+        w.cc.clip_image_size = cfg.vision.image_size
+        return w
+
+    img = (np.random.default_rng(3).uniform(0, 255, (48, 56, 3))
+           ).astype(np.uint8)
+    payloads = [{
+        "prompt": f"USER: <image>\nquestion number {i} here ASSISTANT:",
+        "images": [protocol.encode_image_b64(img)],
+        "temperature": 0.0,
+    } for i in range(3)]
+
+    def run_server(worker):
+        port = _free_port()
+        httpd = wk.serve(worker, "127.0.0.1", port)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        return httpd, f"http://127.0.0.1:{port}/worker_generate_stream"
+
+    seq_worker = mk_worker(0)
+    httpd1, url1 = run_server(seq_worker)
+    try:
+        want = [list(protocol.stream_chunks(requests.post(
+            url1, json=p, timeout=600).content))[-1] for p in payloads]
+    finally:
+        httpd1.shutdown()
+
+    bat_worker = mk_worker(2)
+    httpd2, url2 = run_server(bat_worker)
+    try:
+        with ThreadPoolExecutor(3) as ex:
+            got = list(ex.map(
+                lambda p: list(protocol.stream_chunks(requests.post(
+                    url2, json=p, timeout=600).content))[-1], payloads))
+        for g, w in zip(got, want):
+            assert g["error_code"] == 0
+            assert g["text"] == w["text"]
+            assert g["mask"] == w["mask"]
+    finally:
+        bat_worker.engine.shutdown()
+        httpd2.shutdown()
