@@ -256,8 +256,58 @@ def bench_long_context(tiny: bool):
     _report(7, "long_icl_prefill", B * T / dt, "tok/s")
 
 
+def bench_engine(tiny: bool):
+    """Config 8 (extra): continuous-batching serving throughput
+    (serve/engine.py) — concurrent VQA requests coalesced into one decode
+    batch, vs the reference worker's strictly sequential semaphore loop
+    (model_worker.py:577-592)."""
+    import time
+
+    import __graft_entry__ as ge
+    from medplib_tpu.serve.engine import BatchedEngine
+
+    if tiny:
+        cfg = _cfg(True, 2)
+        params = _params(cfg, jnp.float32)
+        slots, n_req, new, T = 2, 4, 8, 16
+    else:
+        cfg = _cfg(False, 32)
+        params = _params(cfg, jnp.bfloat16)
+        from medplib_tpu.utils import quantize as qz
+        params = qz.quantize_tree(params)  # int8 serving config
+        jax.block_until_ready(params)
+        slots, n_req, new, T = 8, 16, 32, 48
+
+    rng = np.random.default_rng(0)
+
+    def mk_batch(i):
+        b = ge._make_batch(cfg, B=1, T=T, rng=rng)
+        ids = np.array(b.input_ids)
+        ids[0, 5] = 100 + i  # distinct prompts
+        ids[0, T - 3] = 7    # no SEG: pure decode path (VQA serving)
+        return b._replace(input_ids=jnp.asarray(ids))
+
+    eng = BatchedEngine(cfg, params, slots=slots, max_new_tokens=new,
+                        chunk=8)
+    try:
+        # warm: compiles prefill, empty-state build, insert, decode chunk
+        for r in [eng.submit(mk_batch(1000 + i), temperature=0.0)
+                  for i in range(2)]:
+            r.tokens()
+        t0 = time.time()
+        reqs = [eng.submit(mk_batch(i), temperature=0.0)
+                for i in range(n_req)]
+        toks = sum(len(r.tokens()) for r in reqs)
+        dt = time.time() - t0
+    finally:
+        eng.shutdown()
+    _report(8, "serving_engine_throughput", toks / dt, "tok/s")
+    _report(8, "serving_engine_requests", n_req / dt, "req/s")
+
+
 BENCHES = {1: bench_clip, 2: bench_vqa, 3: bench_region, 4: bench_seg,
-           5: bench_icl, 6: bench_train, 7: bench_long_context}
+           5: bench_icl, 6: bench_train, 7: bench_long_context,
+           8: bench_engine}
 
 
 def main(argv=None):

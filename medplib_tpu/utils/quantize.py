@@ -38,19 +38,36 @@ SKIP_MODULES = ("sam", "clip", "text_hidden_fcs", "region_fea_adapter",
 import functools
 
 
+def _map_leading(fn, kernel: jnp.ndarray, ndim_core: int = 2):
+    """Apply a 2D quantizer over stacked leading dims (layer/expert) one
+    slice at a time via lax.map: the f32 temporaries then peak at ONE
+    slice instead of the whole [L, in, out] stack (whose f32 copy alone is
+    ~5.8 GB for a 7B MLP stack — enough to fragment a 16 GB chip so badly
+    that a 6.5 GB generate program no longer fits)."""
+    lead = kernel.shape[:-ndim_core]
+    if not lead:
+        return fn(kernel)
+    flat = kernel.reshape((-1,) + kernel.shape[-ndim_core:])
+    q, s = jax.lax.map(fn, flat)
+    return (q.reshape(lead + q.shape[1:]), s.reshape(lead + s.shape[1:]))
+
+
 @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
 def _quantize_kernel(kernel: jnp.ndarray, out_axis: int):
     """Donated input: the bf16 kernel's HBM is reclaimed as the int8 output
     is produced — quantizing a 7B tree never holds both precisions."""
-    absmax = jnp.max(jnp.abs(kernel.astype(jnp.float32)), axis=tuple(
-        a for a in range(kernel.ndim) if a != out_axis and
-        a >= kernel.ndim - 2), keepdims=True)
-    # leading stacked dims (layer/expert) keep their own scales
-    scale = absmax / 127.0
-    q = jnp.clip(jnp.round(kernel.astype(jnp.float32) /
-                           jnp.maximum(scale, 1e-12)), -127, 127
-                 ).astype(jnp.int8)
-    return q, scale.astype(jnp.float32)
+    core_out_axis = out_axis - (kernel.ndim - 2)  # 0 or 1 within a 2D slice
+
+    def one(k2):
+        absmax = jnp.max(jnp.abs(k2.astype(jnp.float32)),
+                         axis=1 - core_out_axis, keepdims=True)
+        scale = absmax / 127.0
+        q = jnp.clip(jnp.round(k2.astype(jnp.float32) /
+                               jnp.maximum(scale, 1e-12)), -127, 127
+                     ).astype(jnp.int8)
+        return q, scale.astype(jnp.float32)
+
+    return _map_leading(one, kernel)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(0,))
@@ -62,27 +79,31 @@ def _quantize_kernel4(kernel: jnp.ndarray, transposed: bool, block: int):
     Transposed [.., out, in]: scale4 [.., out, nb, 1], packed along in.
     dequant (train/lora.dequant_kernel) distinguishes the two by which
     trailing scale4 axis is 1."""
-    w = kernel.astype(jnp.float32)
-    if transposed:
-        *lead, O, I = w.shape
-        B = block if I % block == 0 else I
-        nb = I // B
-        wb = w.reshape(*lead, O, nb, B)
-        scale = jnp.max(jnp.abs(wb), axis=-1, keepdims=True) / 7.0
-    else:
-        *lead, I, O = w.shape
-        B = block if I % block == 0 else I
-        nb = I // B
-        wb = w.reshape(*lead, nb, B, O)
-        scale = jnp.max(jnp.abs(wb), axis=-2, keepdims=True) / 7.0
-    q = jnp.clip(jnp.round(wb / jnp.maximum(scale, 1e-12)), -8, 7
-                 ).astype(jnp.int8).reshape(w.shape)
-    axis = q.ndim - 1 if transposed else q.ndim - 2
-    lo = jax.lax.slice_in_dim(q, 0, q.shape[axis], 2, axis)
-    hi = jax.lax.slice_in_dim(q, 1, q.shape[axis], 2, axis)
-    packed = jnp.bitwise_or(jnp.bitwise_and(lo, jnp.int8(15)),
-                            jnp.left_shift(hi, 4))
-    return packed, scale.astype(jnp.float32)
+
+    def one(k2):
+        w = k2.astype(jnp.float32)
+        if transposed:
+            O, I = w.shape
+            B = block if I % block == 0 else I
+            nb = I // B
+            wb = w.reshape(O, nb, B)
+            scale = jnp.max(jnp.abs(wb), axis=-1, keepdims=True) / 7.0
+        else:
+            I, O = w.shape
+            B = block if I % block == 0 else I
+            nb = I // B
+            wb = w.reshape(nb, B, O)
+            scale = jnp.max(jnp.abs(wb), axis=-2, keepdims=True) / 7.0
+        q = jnp.clip(jnp.round(wb / jnp.maximum(scale, 1e-12)), -8, 7
+                     ).astype(jnp.int8).reshape(w.shape)
+        axis = q.ndim - 1 if transposed else q.ndim - 2
+        lo = jax.lax.slice_in_dim(q, 0, q.shape[axis], 2, axis)
+        hi = jax.lax.slice_in_dim(q, 1, q.shape[axis], 2, axis)
+        packed = jnp.bitwise_or(jnp.bitwise_and(lo, jnp.int8(15)),
+                                jnp.left_shift(hi, 4))
+        return packed, scale.astype(jnp.float32)
+
+    return _map_leading(one, kernel)
 
 
 def quantize_tree(params: Any, skip: Sequence[str] = SKIP_MODULES,
