@@ -130,7 +130,7 @@ def main():
     # default batch tracks the precision: int8 fits B=12, bf16 tops out at 3
     # (7B params + KV cache in 16G HBM, see docstring ladder)
     B = int(os.environ.get(
-        "BENCH_B", {"int8": "12", "int4": "16"}.get(quant, "3")))
+        "BENCH_B", {"int8": "12", "int4": "12"}.get(quant, "3")))
     T_in = 48  # prompt tokens incl. <image> sentinel (splices to ~623)
     max_new = 10  # typical grounding answer: "It is <SEG>." + stop
     batch = ge._make_batch(cfg, B=B, T=T_in, rng=rng)

@@ -290,7 +290,19 @@ def bench_engine(tiny: bool):
     eng = BatchedEngine(cfg, params, slots=slots, max_new_tokens=new,
                         chunk=8)
     try:
-        # warm: compiles prefill, empty-state build, insert, decode chunk
+        # deterministically warm every admission bucket's prefill compile
+        # (padded power-of-2 groups), plus empty-state/insert/decode, so the
+        # timed wave never compiles
+        b1 = mk_batch(999)
+        bucket = 1
+        while bucket <= slots:
+            bb = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, 0), *([b1] * bucket))
+            t = jnp.zeros((bucket, 1), jnp.float32)
+            tp = jnp.ones((bucket, 1), jnp.float32)
+            jax.block_until_ready(eng._prefills[(False, False)](
+                eng.params, bb, t, tp, jax.random.PRNGKey(0)))
+            bucket *= 2
         for r in [eng.submit(mk_batch(1000 + i), temperature=0.0)
                   for i in range(2)]:
             r.tokens()

@@ -8,11 +8,14 @@ requests queue. This engine is the TPU-first upgrade: requests are admitted
 into free slots of a static-shape batch as they arrive and retired on
 EOS/budget, so every decode step runs the full slot batch on the MXU.
 
-Design (all static shapes, three compiled programs total):
-- admit: per-request B=1 prefill (medplib.stream_prefill) then a jitted
-  per-slot insertion into the shared StreamState via
-  `dynamic_update_slice_in_dim` on the batch axis (slot index is traced —
-  one compile covers every slot).
+Design (all static shapes, a handful of compiled programs total):
+- admit: pending requests prefill TOGETHER (medplib.stream_prefill over the
+  concatenated batches, padded to a power-of-2 bucket so compiles stay
+  logarithmic; per-row temperature/top_p arrays), then jitted per-slot
+  insertion into the shared StreamState via `dynamic_update_slice_in_dim`
+  on the batch axis (source row and slot are traced — one compile covers
+  every pair). Seeded sampled requests prefill solo so their RNG stream is
+  reproducible regardless of traffic.
 - decode: medplib.stream_decode_chunk over all slots. One greedy program;
   one sampling program whose per-ROW temperature/top_p arrays let a single
   compile serve any mix of greedy and sampled requests (rows with
@@ -105,6 +108,10 @@ class BatchedEngine:
         self.max_new_tokens = max_new_tokens
 
         def mk_prefill(rp: bool, ds: bool):
+            # temperature/top_p are traced [k, 1] arrays: per-ROW sampling
+            # params, so one program admits any mix of greedy and sampled
+            # requests (greedy rows take an exact argmax below the 1e-4
+            # threshold, ops/sampling.sample_token)
             return jax.jit(lambda p, b, t, tp, k: medplib.stream_prefill(
                 p, cfg, b, max_new_tokens=self.decode_budget, rp_flag=rp,
                 do_sample=ds, temperature=t, top_p=tp, rng=k))
@@ -139,10 +146,15 @@ class BatchedEngine:
 
     @staticmethod
     def _insert_impl(big: medplib.StreamState, small: medplib.StreamState,
-                     slot: jnp.ndarray) -> medplib.StreamState:
+                     src: jnp.ndarray, slot: jnp.ndarray
+                     ) -> medplib.StreamState:
+        """Copy row `src` of a (possibly batch-admitted) small state into
+        slot `slot` of the shared state. Both indices are traced — one
+        compile covers every (src, slot) pair."""
         def up(b, s, axis):
+            row = jax.lax.dynamic_slice_in_dim(s, src, 1, axis)
             return jax.lax.dynamic_update_slice_in_dim(
-                b, s.astype(b.dtype), slot, axis)
+                b, row.astype(b.dtype), slot, axis)
 
         cache = llama.KVCache(
             k=up(big.cache.k, small.cache.k, 1),
@@ -217,16 +229,34 @@ class BatchedEngine:
 
     # ---- engine loop ----
 
-    def _admit(self, r: Request):
-        key = jax.random.PRNGKey(int(r.seed) if r.seed is not None
+    def _admit(self, group: List[Request]):
+        """Admit a group of same-region requests with ONE prefill: batches
+        are concatenated, sampling params ride as per-row arrays, and the
+        group is padded up to a power-of-2 bucket (duplicating the last
+        request's rows; padding rows are never inserted) so the number of
+        distinct prefill compiles stays logarithmic in `slots`."""
+        k = len(group)
+        bucket = 1
+        while bucket < k:
+            bucket *= 2
+        rows = group + [group[-1]] * (bucket - k)
+        batch = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, 0), *[r.batch for r in rows])
+        temps = jnp.asarray([[r.temperature] for r in rows], jnp.float32)
+        tops = jnp.asarray([[r.top_p] for r in rows], jnp.float32)
+        seed = group[0].seed
+        key = jax.random.PRNGKey(int(seed) if seed is not None
                                  else time.time_ns() & 0x7FFFFFFF)
-        small = self._prefills[(r.region, r.do_sample)](
-            self.params, r.batch, r.temperature, r.top_p, key)
+        ds = any(r.do_sample for r in group)
+        small = self._prefills[(group[0].region, ds)](
+            self.params, batch, temps, tops, key)
         if self._state is None:
             self._state = self._make_empty(small)
-        slot = self._slot_req.index(None)
-        self._state = self._insert(self._state, small, jnp.int32(slot))
-        self._slot_req[slot] = r
+        for i, r in enumerate(group):
+            slot = self._slot_req.index(None)
+            self._state = self._insert(self._state, small, jnp.int32(i),
+                                       jnp.int32(slot))
+            self._slot_req[slot] = r
 
     def _retire(self, slot: int):
         r = self._slot_req[slot]
@@ -249,18 +279,36 @@ class BatchedEngine:
                 self._state = None
 
     def _loop_once(self):
-        # admit as many pending requests as there are free slots
-        while None in self._slot_req:
+        # drain pending requests up to the free-slot count...
+        incoming: List[Request] = []
+        while sum(r is None for r in self._slot_req) > len(incoming):
             try:
-                block = all(r is None for r in self._slot_req)
-                r = self._pending.get(block=block, timeout=0.2)
+                block = (not incoming
+                         and all(r is None for r in self._slot_req))
+                incoming.append(self._pending.get(block=block, timeout=0.2))
             except queue.Empty:
                 break
+        # ...and admit them in batched prefill groups: same region flag
+        # groups together; a SEEDED sampled request prefills solo so its
+        # RNG stream stays reproducible regardless of traffic
+        groups: List[List[Request]] = []
+        by_region: dict = {}
+        for r in incoming:
+            if r.do_sample and r.seed is not None:
+                groups.append([r])
+            else:
+                by_region.setdefault(r.region, []).append(r)
+        groups.extend(v for v in by_region.values())
+        for g in groups:
             try:
-                self._admit(r)
+                self._admit(g)
             except BaseException as e:  # noqa: BLE001
-                r.error = e
-                r.chunks.put(None)
+                for i, s in enumerate(self._slot_req):
+                    if s in g:  # slotted before the failure: free the slot
+                        self._slot_req[i] = None
+                for r in g:
+                    r.error = e
+                    r.chunks.put(None)
         active = [i for i, r in enumerate(self._slot_req) if r is not None]
         if not active:
             return
