@@ -287,8 +287,9 @@ def bench_engine(tiny: bool):
         ids[0, T - 3] = 7    # no SEG: pure decode path (VQA serving)
         return b._replace(input_ids=jnp.asarray(ids))
 
+    group = os.environ.get("BENCH_ENGINE_GROUP", "0") == "1"
     eng = BatchedEngine(cfg, params, slots=slots, max_new_tokens=new,
-                        chunk=8)
+                        chunk=8, group_admission=group)
     try:
         # deterministically warm every admission bucket's prefill compile
         # (padded power-of-2 groups), plus empty-state/insert/decode, so the
@@ -296,12 +297,10 @@ def bench_engine(tiny: bool):
         b1 = mk_batch(999)
         bucket = 1
         while bucket <= slots:
-            bb = jax.tree_util.tree_map(
-                lambda *xs: jnp.concatenate(xs, 0), *([b1] * bucket))
-            t = jnp.zeros((bucket, 1), jnp.float32)
-            tp = jnp.ones((bucket, 1), jnp.float32)
+            t = np.zeros((bucket, 1), np.float32)
+            tp = np.ones((bucket, 1), np.float32)
             jax.block_until_ready(eng._prefills[(False, False)](
-                eng.params, bb, t, tp, jax.random.PRNGKey(0)))
+                eng.params, t, tp, jax.random.PRNGKey(0), *([b1] * bucket)))
             bucket *= 2
         for r in [eng.submit(mk_batch(1000 + i), temperature=0.0)
                   for i in range(2)]:

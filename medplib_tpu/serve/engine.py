@@ -96,9 +96,20 @@ class Request:
 class BatchedEngine:
     def __init__(self, cfg: MedplibConfig, params, *, slots: int = 4,
                  max_new_tokens: int = 256, chunk: int = 8, eos_id: int = 2,
-                 prefill_tokens: Optional[int] = None):
+                 prefill_tokens: Optional[int] = None,
+                 group_admission: bool = False):
         """`prefill_tokens` is unused (the collator fixes the prompt shape);
-        kept so callers can document their shape contract."""
+        kept so callers can document their shape contract.
+
+        `group_admission=True` prefills pending requests together in one
+        padded power-of-2 batch. Measured on v5e-1 through the axon tunnel
+        (7B int8, 8 slots, 16 VQA requests x 32 tokens): per-request
+        admission 128.6 tok/s vs grouped 100.6 — staggered admissions keep
+        a rolling pipeline of near-full decode chunks, while synchronized
+        waves serialize big prefills with idle decode gaps. Default is the
+        measured winner; grouped stays available for dispatch-latency-bound
+        deployments."""
+        self.group_admission = group_admission
         self.cfg, self.params = cfg, params
         self.slots = slots
         self.chunk = chunk
@@ -111,10 +122,18 @@ class BatchedEngine:
             # temperature/top_p are traced [k, 1] arrays: per-ROW sampling
             # params, so one program admits any mix of greedy and sampled
             # requests (greedy rows take an exact argmax below the 1e-4
-            # threshold, ops/sampling.sample_token)
-            return jax.jit(lambda p, b, t, tp, k: medplib.stream_prefill(
-                p, cfg, b, max_new_tokens=self.decode_budget, rp_flag=rp,
-                do_sample=ds, temperature=t, top_p=tp, rng=k))
+            # threshold, ops/sampling.sample_token). The group's batches are
+            # concatenated INSIDE the jit — on a tunneled TPU backend every
+            # eager op is its own host round trip, and 13 leaf concats per
+            # admission measurably beat the batching win out of the engine.
+            def run(p, t, tp, k, *bs):
+                b = (bs[0] if len(bs) == 1 else jax.tree_util.tree_map(
+                    lambda *xs: jnp.concatenate(xs, 0), *bs))
+                return medplib.stream_prefill(
+                    p, cfg, b, max_new_tokens=self.decode_budget, rp_flag=rp,
+                    do_sample=ds, temperature=t, top_p=tp, rng=k)
+
+            return jax.jit(run)
 
         self._prefills = {(rp, ds): mk_prefill(rp, ds)
                           for rp in (False, True) for ds in (False, True)}
@@ -146,15 +165,18 @@ class BatchedEngine:
 
     @staticmethod
     def _insert_impl(big: medplib.StreamState, small: medplib.StreamState,
-                     src: jnp.ndarray, slot: jnp.ndarray
-                     ) -> medplib.StreamState:
-        """Copy row `src` of a (possibly batch-admitted) small state into
-        slot `slot` of the shared state. Both indices are traced — one
-        compile covers every (src, slot) pair."""
+                     slots_vec: jnp.ndarray) -> medplib.StreamState:
+        """Scatter the first len(slots_vec) rows of a (possibly padded)
+        batch-admitted small state into the given slots of the shared state
+        — ONE device dispatch per admission group. slots_vec values are
+        traced; its LENGTH is static (one compile per group size)."""
+        k = slots_vec.shape[0]
+
         def up(b, s, axis):
-            row = jax.lax.dynamic_slice_in_dim(s, src, 1, axis)
-            return jax.lax.dynamic_update_slice_in_dim(
-                b, row.astype(b.dtype), slot, axis)
+            s = jax.lax.slice_in_dim(s, 0, k, axis=axis).astype(b.dtype)
+            if axis == 0:
+                return b.at[slots_vec].set(s)
+            return b.at[:, slots_vec].set(s)
 
         cache = llama.KVCache(
             k=up(big.cache.k, small.cache.k, 1),
@@ -240,23 +262,28 @@ class BatchedEngine:
         while bucket < k:
             bucket *= 2
         rows = group + [group[-1]] * (bucket - k)
-        batch = jax.tree_util.tree_map(
-            lambda *xs: jnp.concatenate(xs, 0), *[r.batch for r in rows])
-        temps = jnp.asarray([[r.temperature] for r in rows], jnp.float32)
-        tops = jnp.asarray([[r.top_p] for r in rows], jnp.float32)
+        temps = np.asarray([[r.temperature] for r in rows], np.float32)
+        tops = np.asarray([[r.top_p] for r in rows], np.float32)
         seed = group[0].seed
         key = jax.random.PRNGKey(int(seed) if seed is not None
                                  else time.time_ns() & 0x7FFFFFFF)
         ds = any(r.do_sample for r in group)
         small = self._prefills[(group[0].region, ds)](
-            self.params, batch, temps, tops, key)
+            self.params, temps, tops, key, *[r.batch for r in rows])
         if self._state is None:
             self._state = self._make_empty(small)
-        for i, r in enumerate(group):
+        slots = []
+        for r in group:
             slot = self._slot_req.index(None)
-            self._state = self._insert(self._state, small, jnp.int32(i),
-                                       jnp.int32(slot))
             self._slot_req[slot] = r
+            slots.append(slot)
+        try:
+            self._state = self._insert(self._state, small,
+                                       np.asarray(slots, np.int32))
+        except BaseException:
+            for slot in slots:
+                self._slot_req[slot] = None
+            raise
 
     def _retire(self, slot: int):
         r = self._slot_req[slot]
@@ -294,7 +321,8 @@ class BatchedEngine:
         groups: List[List[Request]] = []
         by_region: dict = {}
         for r in incoming:
-            if r.do_sample and r.seed is not None:
+            if not self.group_admission or (r.do_sample
+                                            and r.seed is not None):
                 groups.append([r])
             else:
                 by_region.setdefault(r.region, []).append(r)
@@ -325,9 +353,9 @@ class BatchedEngine:
         else:
             self._state, toks, dones = self._chunk_greedy(self.params,
                                                           self._state)
-        toks = np.asarray(toks)
-        dones = np.asarray(dones)
-        done_now = np.asarray(self._state.done)
+        # single host fetch for the chunk's outputs (tunnel round trips)
+        toks, dones, done_now = jax.device_get(
+            (toks, dones, self._state.done))
         for slot in active:
             r = self._slot_req[slot]
             fresh = [int(t) for t, d in zip(toks[slot], dones[slot])

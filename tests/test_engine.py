@@ -93,10 +93,11 @@ PROMPTS = [
 ]
 
 
-def test_engine_matches_single_stream_and_reuses_slots(tiny):
+@pytest.mark.parametrize("group", [False, True])
+def test_engine_matches_single_stream_and_reuses_slots(tiny, group):
     """5 greedy requests through a 2-slot engine must each reproduce the
     sequential single-request stream token-for-token (batching invariance),
-    forcing slot reuse along the way."""
+    forcing slot reuse along the way — in both admission modes."""
     cfg, params, tok, cc = tiny
     budget, chunk = 8, 4
     batches = [_make_batch(cfg, tok, cc, p, seed=i)
@@ -105,7 +106,7 @@ def test_engine_matches_single_stream_and_reuses_slots(tiny):
             for b in batches]
 
     eng = BatchedEngine(cfg, params, slots=2, max_new_tokens=budget,
-                        chunk=chunk)
+                        chunk=chunk, group_admission=group)
     try:
         reqs = [eng.submit(b, temperature=0.0) for b in batches]
         got = [r.tokens() for r in reqs]
@@ -125,11 +126,14 @@ def test_engine_mixed_greedy_and_sampled(tiny):
     b_sample = _make_batch(cfg, tok, cc, PROMPTS[2], seed=1)
     want, _ = _reference_tokens(cfg, params, b_greedy, budget, chunk)
 
+    # group_admission exercises the mixed greedy+sampled BATCHED prefill
+    # (per-row temperature arrays); decode always batches the mix
     eng = BatchedEngine(cfg, params, slots=2, max_new_tokens=budget,
-                        chunk=chunk)
+                        chunk=chunk, group_admission=True)
     try:
         rg = eng.submit(b_greedy, temperature=0.0)
-        rs = eng.submit(b_sample, temperature=0.9, top_p=0.9, seed=7)
+        # no seed: a seeded sampled request would prefill solo by design
+        rs = eng.submit(b_sample, temperature=0.9, top_p=0.9)
         got = rg.tokens()
         sampled = rs.tokens()
         assert got == want
