@@ -63,6 +63,9 @@ def build_argparser():
     ap.add_argument("--steps-per-epoch", type=int, default=500)
     ap.add_argument("--batch-size", type=int, default=2)
     ap.add_argument("--grad-accumulation-steps", type=int, default=1)
+    # loader thread pool (train_ds_medplib.py:88 --workers, DataLoader
+    # num_workers); 0 = synchronous in-thread loading
+    ap.add_argument("--workers", type=int, default=4)
     ap.add_argument("--warmup-steps", type=int, default=100)
     ap.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
     ap.add_argument("--lora-r", type=int, default=8)
@@ -109,8 +112,7 @@ def main(argv=None):
                                     ProjectorConfig, SegConfig, TrainConfig)
     from medplib_tpu.data import tokenize as tk
     from medplib_tpu.data.dataset import (CollatorConfig, DataConfig,
-                                          LazySupervisedDataset, collate,
-                                          to_model_batch)
+                                          LazySupervisedDataset)
     from medplib_tpu.models import medplib
     from medplib_tpu.parallel.mesh import make_mesh, shard_params
     from medplib_tpu.train import lora as lora_lib
@@ -186,20 +188,16 @@ def main(argv=None):
             clip_image_size=cfg.vision.image_size,
             pad_token_id=tokenizer.pad_token_id or 0)
 
+        # prefetching loader: sample IO/preprocess overlaps the device step
+        # (data/loader.py, the DataLoader-num_workers equivalent); the index
+        # stream is deterministic so resume replay is loader-independent
+        from medplib_tpu.data.loader import PrefetchLoader
+
         def batch_iterator():
-            rng = np.random.default_rng(42)
-            order = rng.permutation(len(dataset))
-            pos = 0
-            while True:
-                micro = []
-                for _ in range(args.grad_accumulation_steps):
-                    idxs = [order[(pos + j) % len(dataset)]
-                            for j in range(args.batch_size)]
-                    pos += args.batch_size
-                    arrays, _ = collate([dataset[int(i)] for i in idxs], cc)
-                    micro.append(to_model_batch(arrays))
-                yield jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(xs), *micro)
+            return iter(PrefetchLoader(
+                dataset, cc, batch_size=args.batch_size,
+                accum_steps=args.grad_accumulation_steps,
+                num_workers=args.workers, seed=42))
 
         log_dir = os.path.join(args.log_base_dir, args.exp_name)
         trainer = Trainer(cfg, tcfg, params, log_dir,
