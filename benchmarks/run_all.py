@@ -261,7 +261,6 @@ def bench_engine(tiny: bool):
     (serve/engine.py) — concurrent VQA requests coalesced into one decode
     batch, vs the reference worker's strictly sequential semaphore loop
     (model_worker.py:577-592)."""
-    import time
 
     import __graft_entry__ as ge
     from medplib_tpu.serve.engine import BatchedEngine

@@ -98,11 +98,17 @@ class LazySupervisedDataset:
 
         region_masks = []
         region_valid = True
-        for m in region_masks_raw:
+        for ri, m in enumerate(region_masks_raw):
             grid = pp.preprocess_region_mask(m, cfg.clip_image_size,
                                              cfg.clip_patch)
             if self.train and cfg.augment_regions:
-                grid, ok = pp.sub_component_augment(grid, rng=self.rng)
+                # per-(sample, region) rng, not the shared self.rng:
+                # augmentation must be a pure function of (seed, index) so
+                # the threaded PrefetchLoader (data/loader.py) is
+                # schedule-independent and resume replay reproduces the
+                # exact batches
+                grid, ok = pp.sub_component_augment(
+                    grid, rng=random.Random((cfg.seed, i, ri)))
                 region_valid = region_valid and ok
             region_masks.append(grid)
 

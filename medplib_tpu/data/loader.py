@@ -99,7 +99,14 @@ class PrefetchLoader:
                         return
             except BaseException as e:  # noqa: BLE001 - re-raised below
                 err.append(e)
-                q.put(None)
+                # bounded put: if the consumer already went away with a full
+                # queue, don't block this thread forever
+                while not self._stop.is_set():
+                    try:
+                        q.put(None, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

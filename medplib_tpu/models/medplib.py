@@ -384,7 +384,7 @@ def _make_decode_step(params, cfg: MedplibConfig, eos_id: int,
                                     ep_shard=ep_shard, unroll=unroll)
         logits = llama.logits(params["llm"], hidden)[:, 0]
         if do_sample:
-            key, sub = jax.random.split(key)
+            key, sub = sampling.split_rows(key)
             new_tok = sampling.sample_token(sub, logits, temperature, top_p)
             new_tok = new_tok.astype(tok.dtype)
         else:
@@ -437,8 +437,12 @@ def generate(params: Params, cfg: MedplibConfig, batch: Batch,
     last_hidden = jnp.take_along_axis(hidden, last_idx[:, None, None],
                                       axis=1)  # [B, 1, H]
     from medplib_tpu.ops import sampling
-    key = rng if rng is not None else jax.random.PRNGKey(0)
-    key, sub = jax.random.split(key)
+    # per-ROW RNG streams [B, 2]: each row's sample stream depends only on
+    # its own seed, so batching requests together (serve/engine.py) cannot
+    # perturb a seeded request's tokens
+    key = sampling.row_keys(
+        rng if rng is not None else jax.random.PRNGKey(0), b)
+    key, sub = sampling.split_rows(key)
     next_tok = sampling.select_token(
         llama.logits(params["llm"], last_hidden)[:, 0], sub, do_sample,
         temperature, top_p)
@@ -502,7 +506,7 @@ class StreamState(NamedTuple):
     seg_emb: jnp.ndarray      # [B, S, out_dim] captured SEG slots
     seg_count: jnp.ndarray    # [B] number of filled slots
     last_cap: jnp.ndarray     # [B, out_dim] latest projected hidden (fallback)
-    rng: jnp.ndarray          # PRNG key for sampling
+    rng: jnp.ndarray          # [B, 2] per-row PRNG streams for sampling
 
     @property
     def seg_found(self):
@@ -528,8 +532,10 @@ def stream_prefill(params: Params, cfg: MedplibConfig, batch: Batch,
                                     cache=cache, train=False)
     last_idx = jnp.maximum(jnp.sum(attn_mask, -1) - 1, 0)
     last_hidden = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)
-    key = rng if rng is not None else jax.random.PRNGKey(0)
-    key, sub = jax.random.split(key)
+    # per-row streams: see generate() — required by the batching engine
+    key = sampling.row_keys(
+        rng if rng is not None else jax.random.PRNGKey(0), b)
+    key, sub = sampling.split_rows(key)
     next_tok = sampling.select_token(
         llama.logits(params["llm"], last_hidden)[:, 0], sub, do_sample,
         temperature, top_p)

@@ -39,7 +39,13 @@ def sample_token(key: jax.Array, logits: jnp.ndarray,
     min_kept = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1,
                        keepdims=True)
     filtered = jnp.where(logits >= min_kept, logits, -jnp.inf)
-    sampled = jax.random.categorical(key, filtered, axis=-1)
+    if key.ndim == 2:
+        # per-ROW key streams [B, 2]: each row samples from its own RNG
+        # stream, so one request's tokens don't depend on what else shares
+        # the batch (continuous-batching engine, serve/engine.py)
+        sampled = jax.vmap(jax.random.categorical)(key, filtered)
+    else:
+        sampled = jax.random.categorical(key, filtered, axis=-1)
     # rows whose temperature is below the greedy threshold take an EXACT
     # argmax (model_worker.py:420-425 routes temperature < 1e-4 to argmax) —
     # lets one compiled program serve a batch mixing greedy and sampled
@@ -55,3 +61,17 @@ def select_token(logits: jnp.ndarray, key: jax.Array, do_sample: bool,
     if not do_sample:
         return jnp.argmax(logits, axis=-1)
     return sample_token(key, logits, temperature, top_p)
+
+
+def row_keys(base: jax.Array, b: int) -> jax.Array:
+    """[B, 2] independent per-row RNG streams from one base key (pass-through
+    if already per-row). Per-row streams make a sampled request's tokens a
+    function of its own seed alone — admissions into a shared decode batch
+    (serve/engine.py) can't perturb it."""
+    return base if base.ndim == 2 else jax.random.split(base, b)
+
+
+def split_rows(keys: jax.Array):
+    """Advance [B, 2] row streams one step -> (new_keys, subkeys)."""
+    sp = jax.vmap(lambda k: jax.random.split(k))(keys)
+    return sp[:, 0], sp[:, 1]

@@ -13,9 +13,12 @@ Design (all static shapes, a handful of compiled programs total):
   concatenated batches, padded to a power-of-2 bucket so compiles stay
   logarithmic; per-row temperature/top_p arrays), then jitted per-slot
   insertion into the shared StreamState via `dynamic_update_slice_in_dim`
-  on the batch axis (source row and slot are traced — one compile covers
-  every pair). Seeded sampled requests prefill solo so their RNG stream is
-  reproducible regardless of traffic.
+  on the batch axis via one jitted `.at[slots].set` scatter per group
+  (slot values are traced; one compile per group size). The model's RNG is
+  [B, 2] per-row streams (ops/sampling.row_keys), so a seeded request's
+  sample stream depends only on its own seed — traffic cannot perturb it;
+  seeded sampled requests additionally prefill solo so the first token is
+  seed-exact too.
 - decode: medplib.stream_decode_chunk over all slots. One greedy program;
   one sampling program whose per-ROW temperature/top_p arrays let a single
   compile serve any mix of greedy and sampled requests (rows with
@@ -60,7 +63,8 @@ class Request:
         self.max_new_tokens = max_new_tokens
         self.do_sample = self.temperature >= 1e-4
         self.chunks: "queue.Queue[Optional[List[int]]]" = queue.Queue()
-        self.emitted = 0
+        self.emitted = 0   # delivered tokens
+        self.steps = 0     # decode steps consumed (KV-cache budget)
         self.error: Optional[BaseException] = None
         self._seg = None      # (seg_emb [1,S,H], seg_count [1], last_cap [1,H])
         self._engine: Optional["BatchedEngine"] = None
@@ -189,7 +193,10 @@ class BatchedEngine:
             seg_emb=up(big.seg_emb, small.seg_emb, 0),
             seg_count=up(big.seg_count, small.seg_count, 0),
             last_cap=up(big.last_cap, small.last_cap, 0),
-            rng=small.rng)
+            # rng is [B, 2] PER-ROW streams: scattering only the admitted
+            # rows leaves every in-flight request's sample stream untouched
+            # (a seeded request stays reproducible regardless of traffic)
+            rng=up(big.rng, small.rng, 0))
 
     @staticmethod
     def _make_empty_impl(small: medplib.StreamState,
@@ -205,7 +212,7 @@ class BatchedEngine:
             cache=cache, tok=z(small.tok, 0),
             done=jnp.ones((slots,), bool),  # free slots never generate
             seg_emb=z(small.seg_emb, 0), seg_count=z(small.seg_count, 0),
-            last_cap=z(small.last_cap, 0), rng=small.rng)
+            last_cap=z(small.last_cap, 0), rng=z(small.rng, 0))
 
     @staticmethod
     def _extract_impl(state: medplib.StreamState, slot: jnp.ndarray):
@@ -243,6 +250,21 @@ class BatchedEngine:
     def shutdown(self):
         self._stop.set()
         self._thread.join(timeout=10)
+        # fail everything still in flight or queued so no client blocks
+        # forever in Request.tokens()/__iter__
+        err = RuntimeError("engine shut down")
+        for i, r in enumerate(self._slot_req):
+            if r is not None:
+                self._slot_req[i] = None
+                r.error = err
+                r.chunks.put(None)
+        while True:
+            try:
+                r = self._pending.get_nowait()
+            except queue.Empty:
+                break
+            r.error = err
+            r.chunks.put(None)
 
     @property
     def active_requests(self) -> int:
@@ -256,7 +278,9 @@ class BatchedEngine:
         are concatenated, sampling params ride as per-row arrays, and the
         group is padded up to a power-of-2 bucket (duplicating the last
         request's rows; padding rows are never inserted) so the number of
-        distinct prefill compiles stays logarithmic in `slots`."""
+        distinct PREFILL compiles — the expensive programs — stays
+        logarithmic in `slots`. The insert scatter compiles once per
+        distinct group size; it is a small program."""
         k = len(group)
         bucket = 1
         while bucket < k:
@@ -284,6 +308,32 @@ class BatchedEngine:
             for slot in slots:
                 self._slot_req[slot] = None
             raise
+
+    def _try_admit(self, group: List[Request], retried: bool = False):
+        """Admit with failure isolation: a failed GROUP falls back to solo
+        admissions so only the incompatible request errors; a failure while
+        the engine is idle drops the shared state, healing an engine whose
+        shapes were defined by an earlier wrong-shaped first request (the
+        next admission rebuilds the state from its own shapes)."""
+        try:
+            self._admit(group)
+            return
+        except BaseException as e:  # noqa: BLE001 - engine boundary
+            for i, s in enumerate(self._slot_req):
+                if s in group:  # slotted before the failure: free the slot
+                    self._slot_req[i] = None
+            idle = all(r is None for r in self._slot_req)
+            if idle:
+                self._state = None
+            if len(group) > 1:
+                for r in group:
+                    self._try_admit([r])
+                return
+            if idle and not retried:
+                self._try_admit(group, retried=True)
+                return
+            group[0].error = e
+            group[0].chunks.put(None)
 
     def _retire(self, slot: int):
         r = self._slot_req[slot]
@@ -328,15 +378,7 @@ class BatchedEngine:
                 by_region.setdefault(r.region, []).append(r)
         groups.extend(v for v in by_region.values())
         for g in groups:
-            try:
-                self._admit(g)
-            except BaseException as e:  # noqa: BLE001
-                for i, s in enumerate(self._slot_req):
-                    if s in g:  # slotted before the failure: free the slot
-                        self._slot_req[i] = None
-                for r in g:
-                    r.error = e
-                    r.chunks.put(None)
+            self._try_admit(g)
         active = [i for i, r in enumerate(self._slot_req) if r is not None]
         if not active:
             return
@@ -360,8 +402,13 @@ class BatchedEngine:
             r = self._slot_req[slot]
             fresh = [int(t) for t, d in zip(toks[slot], dones[slot])
                      if not d and int(t) > 0][: r.max_new_tokens - r.emitted]
-            r.emitted += int(np.sum(~dones[slot]))
+            # emitted counts DELIVERED tokens (matches the sequential
+            # worker's len(detok.toks) cap); steps bounds total decode work
+            # so a stream of filtered ids can't outrun the KV cache
+            r.emitted += len(fresh)
+            r.steps += toks.shape[1]
             if fresh:
                 r.chunks.put(fresh)
-            if bool(done_now[slot]) or r.emitted >= r.max_new_tokens:
+            if bool(done_now[slot]) or r.emitted >= r.max_new_tokens \
+                    or r.steps >= self.decode_budget:
                 self._retire(slot)

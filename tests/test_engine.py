@@ -175,30 +175,47 @@ def test_engine_grounding_matches_stream_ground(tiny):
         eng.shutdown()
 
 
-def test_engine_bad_request_fails_only_itself(tiny):
-    """A request with a wrong shape errors its own handle; the engine keeps
-    serving later requests."""
+def test_engine_shape_isolation_and_idle_healing(tiny):
+    """While traffic is live, a request whose collation shape mismatches the
+    shared state fails ALONE (in-flight requests unaffected); once the
+    engine is idle, the shared state is rebuilt around whatever shape
+    arrives next (shape-adaptive healing), so no shape permanently poisons
+    the engine."""
+    import time
+
     cfg, params, tok, cc = tiny
-    eng = BatchedEngine(cfg, params, slots=2, max_new_tokens=4, chunk=4)
+    eng = BatchedEngine(cfg, params, slots=2, max_new_tokens=8, chunk=2)
     try:
         good = _make_batch(cfg, tok, cc, PROMPTS[0])
         with pytest.raises(ValueError):
             eng.submit(jax.tree_util.tree_map(
                 lambda a: np.concatenate([a, a], 0), good))
-        want = _reference_tokens(cfg, params, good, 4, 4)[0]
-        assert eng.submit(good, temperature=0.0).tokens() == want
-        # a prompt collated LONGER than the engine's max_seq_len violates the
-        # fixed-shape contract: its KV cache can't insert into the shared one
-        # (a SHORTER collation inserts fine — the update slice is a sub-block)
-        bad_cc = CollatorConfig(max_seq_len=96,
-                                image_tokens=cfg.vision.num_patches,
-                                sam_image_size=cfg.sam.image_size,
-                                clip_image_size=cfg.vision.image_size)
-        rb = eng.submit(_make_batch(cfg, tok, bad_cc, PROMPTS[0]),
-                        temperature=0.0)
-        with pytest.raises(BaseException):
-            rb.tokens()
-        # the engine keeps serving correct requests afterwards
+        want = _reference_tokens(cfg, params, good, 8, 2)[0]
+        # a prompt collated to a DIFFERENT max_seq_len can't share KV state
+        other_cc = CollatorConfig(max_seq_len=96,
+                                  image_tokens=cfg.vision.num_patches,
+                                  sam_image_size=cfg.sam.image_size,
+                                  clip_image_size=cfg.vision.image_size)
+        other = _make_batch(cfg, tok, other_cc, PROMPTS[0])
+
+        rg = eng.submit(good, temperature=0.0)
+        # wait until good occupies a slot, then race the mismatched one in
+        for _ in range(400):
+            if any(r is rg for r in eng._slot_req):
+                break
+            time.sleep(0.05)
+        rb = eng.submit(other, temperature=0.0)
+        assert rg.tokens() == want  # in-flight request unaffected
+        if rb.error is not None:  # failed while good was live: isolated
+            with pytest.raises(BaseException):
+                rb.tokens()
+        else:  # good finished first: idle healing admitted it instead
+            assert isinstance(rb.tokens(), list)
+        # idle: the mismatched shape is now accepted (state rebuilt) ...
+        r2 = eng.submit(other, temperature=0.0)
+        r2.tokens()
+        assert r2.error is None
+        # ... and switching back heals again
         assert eng.submit(good, temperature=0.0).tokens() == want
     finally:
         eng.shutdown()
