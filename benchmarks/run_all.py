@@ -132,6 +132,22 @@ def bench_vqa(tiny: bool):
     _report(2, "vqa_decode_throughput", B * new / dt, "tok/s")
     _report(2, "vqa_latency", dt * 1e3 / B, "ms/sample")
 
+    # p50 TTFT (BASELINE.json headline metric): a single request's time to
+    # FIRST token = the serving stream's jitted prefill, which returns the
+    # first generated token in state.tok
+    b1 = jax.tree_util.tree_map(lambda a: a[:1], batch)
+    prefill = jax.jit(lambda p, b: medplib.stream_prefill(
+        p, cfg, b, max_new_tokens=new))
+    state = prefill(params, b1)
+    _ = int(np.asarray(state.tok)[0])  # compile + sync
+    times = []
+    for _i in range(9):
+        t0 = time.time()
+        state = prefill(params, b1)
+        _ = int(np.asarray(state.tok)[0])  # host fetch = real sync on axon
+        times.append(time.time() - t0)
+    _report(2, "vqa_ttft_p50", sorted(times)[len(times) // 2] * 1e3, "ms")
+
 
 def bench_region(tiny: bool):
     """Config 3: region-VQA with region adapter + 576->256 compressor."""
