@@ -50,7 +50,7 @@ def log(msg):
           flush=True)
 
 
-def _phase_timings(params, cfg, batch, max_new, unroll, actq=False):
+def _phase_timings(params, cfg, batch, max_new, actq=False):
     """BENCH_PHASES=1: time prefill / decode / grounding separately via the
     worker's stream fns (diagnostic; stderr only). Runs at a reduced batch:
     holding a live StreamState while a second one is produced needs TWO KV
@@ -144,7 +144,10 @@ def main():
                                       unroll_layers=unroll))
 
     if os.environ.get("BENCH_PHASES") == "1":
-        _phase_timings(params, cfg, batch, max_new, unroll, actq)
+        # phases always measure the default scan path; BENCH_UNROLL only
+        # affects the headline program (unroll was measured slower and is
+        # kept as a ladder knob, not a phase-diagnostic one)
+        _phase_timings(params, cfg, batch, max_new, actq)
 
     def run_once(b):
         res = gen(params, b)

@@ -73,6 +73,8 @@ class Conversation:
             ret = self.system + self.sep
             for role, message in messages:
                 if message:
+                    if isinstance(message, tuple):  # conversation.py:67
+                        message = message[0]
                     ret += role + message + self.sep
                 else:
                     ret += role
@@ -87,6 +89,8 @@ class Conversation:
             ret = ""
             for i, (role, message) in enumerate(messages):
                 if message:
+                    if isinstance(message, tuple):  # conversation.py:82
+                        message = message[0]
                     if i == 0:
                         message = wrap_sys(self.system) + message
                     if i % 2 == 0:
@@ -99,6 +103,8 @@ class Conversation:
             ret = self.system
             for i, (role, message) in enumerate(messages):
                 if message:
+                    if isinstance(message, tuple):  # conversation.py:99
+                        message = message[0]
                     ret += message + seps[i % 2]
             return ret
         raise ValueError(f"invalid separator style {self.sep_style}")

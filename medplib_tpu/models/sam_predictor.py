@@ -109,38 +109,51 @@ def calculate_stability_score(mask_logits: np.ndarray,
 
 def _mask_to_box(masks: np.ndarray) -> np.ndarray:
     """[N, H, W] bool -> XYXY boxes [N, 4] (utils/amg.py batched_mask_to_box
-    semantics; empty masks -> zero box)."""
+    semantics; empty masks -> zero box). Vectorized: any-axis reductions
+    instead of a per-mask nonzero scan."""
     n, h, w = masks.shape
-    boxes = np.zeros((n, 4), np.float32)
-    for i in range(n):
-        ys, xs = np.nonzero(masks[i])
-        if len(ys):
-            boxes[i] = (xs.min(), ys.min(), xs.max() + 1, ys.max() + 1)
+    any_x = masks.any(axis=1)  # [N, W] column occupancy
+    any_y = masks.any(axis=2)  # [N, H] row occupancy
+    nonempty = any_x.any(axis=1)
+    xi = np.arange(w)[None, :]
+    yi = np.arange(h)[None, :]
+    x0 = np.where(any_x, xi, w).min(axis=1)
+    x1 = np.where(any_x, xi, -1).max(axis=1) + 1
+    y0 = np.where(any_y, yi, h).min(axis=1)
+    y1 = np.where(any_y, yi, -1).max(axis=1) + 1
+    boxes = np.stack([x0, y0, x1, y1], axis=1).astype(np.float32)
+    boxes[~nonempty] = 0
     return boxes
 
 
 def _box_nms(boxes: np.ndarray, scores: np.ndarray,
              iou_thresh: float) -> List[int]:
     """Greedy XYXY box NMS (torchvision.ops.nms semantics used by the
-    reference's batched_nms)."""
+    reference's batched_nms). The pairwise IoU matrix is precomputed with
+    broadcasting; the greedy suppression pass is a vectorized row-mask
+    update instead of a per-pair Python loop."""
+    n = len(boxes)
+    if n == 0:
+        return []
     order = np.argsort(-scores)
-    areas = np.maximum(boxes[:, 2] - boxes[:, 0], 0) * \
-        np.maximum(boxes[:, 3] - boxes[:, 1], 0)
+    b = boxes[order]
+    areas = np.maximum(b[:, 2] - b[:, 0], 0) * \
+        np.maximum(b[:, 3] - b[:, 1], 0)
+    x0 = np.maximum(b[:, None, 0], b[None, :, 0])
+    y0 = np.maximum(b[:, None, 1], b[None, :, 1])
+    x1 = np.minimum(b[:, None, 2], b[None, :, 2])
+    y1 = np.minimum(b[:, None, 3], b[None, :, 3])
+    inter = np.maximum(x1 - x0, 0) * np.maximum(y1 - y0, 0)
+    union = areas[:, None] + areas[None, :] - inter
+    iou = np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+    suppressed = np.zeros(n, bool)
     keep: List[int] = []
-    for i in order:
-        ok = True
-        for j in keep:
-            x0 = max(boxes[i, 0], boxes[j, 0])
-            y0 = max(boxes[i, 1], boxes[j, 1])
-            x1 = min(boxes[i, 2], boxes[j, 2])
-            y1 = min(boxes[i, 3], boxes[j, 3])
-            inter = max(x1 - x0, 0) * max(y1 - y0, 0)
-            union = areas[i] + areas[j] - inter
-            if union > 0 and inter / union >= iou_thresh:
-                ok = False
-                break
-        if ok:
-            keep.append(int(i))
+    for i in range(n):
+        if suppressed[i]:
+            continue
+        keep.append(int(order[i]))
+        suppressed |= iou[i] >= iou_thresh
+        suppressed[i] = True
     return keep
 
 

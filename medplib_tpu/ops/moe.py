@@ -253,7 +253,11 @@ def moe_mlp(
         r_out = (jax.nn.silu(r1) * r2) @ dequant_kernel(rk["down_proj"],
                                                         x.dtype)
         ck = moe_params["coefficient"]
-        coef = xs.astype(jnp.float32) @ ck["kernel"].astype(jnp.float32)
+        # dequant-aware (defense in depth: "coefficient" is also in
+        # quantize.SKIP_MODULES like the router — gating layers are
+        # numerics-sensitive and tiny)
+        coef = xs.astype(jnp.float32) @ dequant_kernel(
+            ck, jnp.float32)
         coef = jax.nn.softmax(coef + ck["bias"].astype(jnp.float32), axis=-1)
         coef = coef.astype(x.dtype)
         y = y * coef[:, 0:1] + r_out * coef[:, 1:2]

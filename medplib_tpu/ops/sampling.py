@@ -34,8 +34,11 @@ def sample_token(key: jax.Array, logits: jnp.ndarray,
     sorted_logits = jnp.flip(jnp.sort(logits, axis=-1), axis=-1)
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
-    # keep token k iff the mass strictly before it is < top_p; k=0 always kept
-    keep = (cum - probs) < jnp.asarray(top_p, jnp.float32)
+    # keep token k iff the mass strictly before it is < top_p; the floor
+    # keeps the top-1 token even at top_p=0.0 (a client-supplied value —
+    # all--inf logits would otherwise degenerate to token 0)
+    keep = (cum - probs) < jnp.maximum(jnp.asarray(top_p, jnp.float32),
+                                       1e-9)
     min_kept = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1,
                        keepdims=True)
     filtered = jnp.where(logits >= min_kept, logits, -jnp.inf)

@@ -153,8 +153,19 @@ def make_handler(controller_url: str, model_name: str,
             self.wfile.write(body)
 
         def do_POST(self):
+            # route FIRST: an unknown path must 404 without touching the
+            # body, and a malformed body must 400 instead of a traceback
+            if self.path not in ("/vote", "/generate"):
+                self.send_response(404)
+                self.end_headers()
+                return
             n = int(self.headers.get("Content-Length", 0))
-            payload = json.loads(self.rfile.read(n)) if n else {}
+            try:
+                payload = json.loads(self.rfile.read(n)) if n else {}
+            except (ValueError, UnicodeDecodeError):
+                self.send_response(400)
+                self.end_headers()
+                return
             if self.path == "/vote":
                 # upvote/downvote/flag on the last response
                 # (gradio_web_server.py:188-216)
@@ -168,10 +179,6 @@ def make_handler(controller_url: str, model_name: str,
                                    payload.get("state", {}),
                                    self.client_address[0])
                 self._json_ok({"ok": True})
-                return
-            if self.path != "/generate":
-                self.send_response(404)
-                self.end_headers()
                 return
             # resolve a worker (gradio_web_server.py:393)
             addr = requests.post(

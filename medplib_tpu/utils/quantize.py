@@ -28,10 +28,12 @@ import jax.numpy as jnp
 
 from medplib_tpu.train.lora import TRANSPOSED_KERNELS
 
-# modules never quantized (normalization-sensitive or tiny)
+# modules never quantized (normalization-sensitive or tiny); "coefficient"
+# is the Residual-MoE 2-way mixing gate — like the router, a softmax gate
+# whose numerics must not be quantized
 SKIP_MODULES = ("sam", "clip", "text_hidden_fcs", "region_fea_adapter",
                 "mask_encoder", "mm_token_compressor", "router",
-                "embed_tokens", "norm", "input_layernorm",
+                "coefficient", "embed_tokens", "norm", "input_layernorm",
                 "post_attention_layernorm")
 
 

@@ -178,3 +178,27 @@ def test_flash_attention_backward_no_mask_path():
         flash_attention(q, k, v, None, block_sizes=(16, 16))))(q)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.linalg.norm(g)) > 0
+
+
+def test_flash_attention_backward_fully_masked_row_finite():
+    """A batch row whose padding mask is ALL zero (invalid/empty sample)
+    must produce finite gradients through the fused backward — the forward
+    leaves lse at its -inf-like init for such rows and the backward's
+    exp(s - lse) must stay behind the keep-mask select."""
+    from medplib_tpu.ops.pallas.flash_attention import flash_attention
+
+    B, T, H, D = 2, 32, 2, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, T, H, D))
+    mask = np.ones((B, T), np.int32)
+    mask[1, :] = 0  # row 1 attends to nothing
+    mask = jnp.asarray(mask)
+
+    def loss(q, k, v):
+        return jnp.sum(jnp.square(
+            flash_attention(q, k, v, mask, block_sizes=(16, 16))))
+
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g in (gq, gk, gv):
+        assert bool(jnp.all(jnp.isfinite(g))), "non-finite grads"
