@@ -14,11 +14,11 @@ The north star in BASELINE.json is >=3x that per v5e chip.
 
 Default config = the production serving configuration: weight-only int8 LLM
 (utils/quantize.py, the framework's bitsandbytes-equivalent; per-channel
-scales, towers kept bf16) at batch 12 — 12.0 masks/s (4.8x). Overrides:
+scales, towers kept bf16) at batch 14 — 12.37 masks/s (4.95x). Overrides:
 BENCH_QUANT=bf16 BENCH_B=3 measures full-bf16; measured v5e ladder after the
 in-place KV-cache decode fix (models/llama.py forward_decode: the cache
-rides the layer-scan carry, killing an ~8 GB/step restack): int8 B=12 12.0,
-int8 B=16 11.8 (now fits; was OOM). Pre-fix history: bf16 B=2 5.2, bf16
+rides the layer-scan carry, killing an ~8 GB/step restack): int8 B=14 12.37,
+int8 B=12 12.03, int8 B=16 11.8 (now fits; was OOM). Pre-fix history: bf16 B=2 5.2, bf16
 B=3 6.3 (B=4 OOM), int8 B=8 9.1, int8 B=12 9.3-9.6.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -130,7 +130,7 @@ def main():
     # default batch tracks the precision: int8 fits B=12, bf16 tops out at 3
     # (7B params + KV cache in 16G HBM, see docstring ladder)
     B = int(os.environ.get(
-        "BENCH_B", {"int8": "12", "int4": "12"}.get(quant, "3")))
+        "BENCH_B", {"int8": "14", "int4": "12"}.get(quant, "3")))
     T_in = 48  # prompt tokens incl. <image> sentinel (splices to ~623)
     max_new = 10  # typical grounding answer: "It is <SEG>." + stop
     batch = ge._make_batch(cfg, B=B, T=T_in, rng=rng)

@@ -142,6 +142,12 @@ class ModelWorker:
             t = threading.Thread(target=self._heartbeat_loop, daemon=True)
             t.start()
 
+    def close(self):
+        """Stop background machinery (the batching engine, if any); safe to
+        call with requests in flight — they error out instead of hanging."""
+        if self.engine is not None:
+            self.engine.shutdown()
+
     # ---- controller RPC (model_worker.py:59-156) ----
     def _post(self, path: str, payload: dict) -> dict:
         import requests

@@ -298,5 +298,5 @@ def test_batched_worker_concurrent_requests_match_sequential():
             assert g["text"] == w["text"]
             assert g["mask"] == w["mask"]
     finally:
-        bat_worker.engine.shutdown()
+        bat_worker.close()
         httpd2.shutdown()
