@@ -226,3 +226,20 @@ def test_quantized_projector_applies_scales():
         rel = float(jnp.linalg.norm(y_q - y_fp) / jnp.linalg.norm(y_fp))
         # int4 noise compounds through the 2-layer GELU MLP at this size
         assert rel < (0.25 if bits == 4 else 0.06), (bits, rel)
+
+
+def test_residual_moe_coefficient_never_quantized():
+    """The Residual-MoE 2-way mixing gate is numerics-sensitive like the
+    router: quantize_tree must leave it alone even when its stacked kernel
+    exceeds the size threshold (it used to be consumed raw int8)."""
+    tree = {"layers": {"moe": {
+        "coefficient": {"kernel": jnp.ones((8, 4096, 2), jnp.float32),
+                        "bias": jnp.zeros((2,), jnp.float32)},
+        "experts": {"gate_proj": {"kernel": jnp.ones((8, 128, 256),
+                                            jnp.float32)}},
+    }}}
+    q = quantize_tree(tree)
+    assert q["layers"]["moe"]["coefficient"]["kernel"].dtype == jnp.float32
+    assert "scale" not in q["layers"]["moe"]["coefficient"]
+    assert q["layers"]["moe"]["experts"]["gate_proj"]["kernel"].dtype == \
+        jnp.int8

@@ -191,3 +191,14 @@ def test_multi_seg_prompt_and_generated_ordering():
                             max_segs=1)
     np.testing.assert_allclose(np.asarray(res1.pred_masks)[0, 0], m[0],
                                atol=2e-3)
+
+
+def test_top_p_zero_keeps_top1():
+    """A client-supplied top_p=0.0 must degrade to top-1 sampling, not an
+    all--inf distribution that degenerates to token id 0."""
+    from medplib_tpu.ops.sampling import sample_token
+
+    logits = jnp.asarray([[0.0, 5.0, 1.0, -2.0]] * 3)
+    toks = sample_token(jax.random.PRNGKey(0), logits, temperature=0.7,
+                        top_p=0.0)
+    assert [int(t) for t in toks] == [1, 1, 1]

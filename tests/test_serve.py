@@ -300,3 +300,23 @@ def test_batched_worker_concurrent_requests_match_sequential():
     finally:
         bat_worker.close()
         httpd2.shutdown()
+
+
+def test_web_post_routing_is_robust():
+    """Unknown POST paths 404 without touching the body; malformed JSON on
+    a known path returns 400 instead of a handler traceback."""
+    from medplib_tpu.serve import web
+
+    srv = web.serve("http://127.0.0.1:9", "dummy-model",
+                    "127.0.0.1", 0, log_dir=None)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        r = requests.post(base + "/nope", data=b"not json", timeout=10)
+        assert r.status_code == 404
+        r = requests.post(base + "/vote", data=b"not json", timeout=10)
+        assert r.status_code == 400
+        r = requests.post(base + "/vote", json={"type": "bogus"}, timeout=10)
+        assert r.status_code == 400
+    finally:
+        srv.shutdown()
