@@ -219,3 +219,55 @@ def test_engine_shape_isolation_and_idle_healing(tiny):
         assert eng.submit(good, temperature=0.0).tokens() == want
     finally:
         eng.shutdown()
+
+
+def test_engine_stress_randomized_traffic(tiny):
+    """12 requests with random budgets and a greedy/sampled mix, submitted
+    from 3 threads with jitter through a 3-slot engine: everything must
+    complete without error, and every greedy request must still match the
+    sequential reference token-for-token."""
+    import random as pyrandom
+    import threading
+    import time
+
+    cfg, params, tok, cc = tiny
+    chunk = 2
+    eng = BatchedEngine(cfg, params, slots=3, max_new_tokens=8, chunk=chunk)
+    rng = pyrandom.Random(0)
+    jobs = []
+    for i in range(12):
+        prompt = PROMPTS[i % len(PROMPTS)]
+        batch = _make_batch(cfg, tok, cc, prompt, seed=i)
+        budget = rng.choice([2, 4, 6, 8])
+        greedy = i % 3 != 2
+        jobs.append((batch, budget, greedy))
+
+    results = [None] * len(jobs)
+    errors = []
+
+    def submit_range(lo, hi):
+        for j in range(lo, hi):
+            batch, budget, greedy = jobs[j]
+            time.sleep(pyrandom.Random(j).uniform(0, 0.1))
+            r = eng.submit(batch, temperature=0.0 if greedy else 0.8,
+                           top_p=0.9, max_new_tokens=budget)
+            try:
+                results[j] = r.tokens()
+            except BaseException as e:  # noqa: BLE001
+                errors.append((j, e))
+
+    try:
+        threads = [threading.Thread(target=submit_range, args=(k, k + 4))
+                   for k in (0, 4, 8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not errors, errors
+        for j, (batch, budget, greedy) in enumerate(jobs):
+            assert results[j] is not None
+            if greedy:
+                want = _reference_tokens(cfg, params, batch, budget, chunk)[0]
+                assert results[j] == want[:budget], (j, results[j], want)
+    finally:
+        eng.shutdown()
