@@ -9,15 +9,15 @@ into free slots of a static-shape batch as they arrive and retired on
 EOS/budget, so every decode step runs the full slot batch on the MXU.
 
 Design (all static shapes, a handful of compiled programs total):
-- admit: pending requests prefill TOGETHER (medplib.stream_prefill over the
-  concatenated batches, padded to a power-of-2 bucket so compiles stay
-  logarithmic; per-row temperature/top_p arrays), then jitted per-slot
-  insertion into the shared StreamState via `dynamic_update_slice_in_dim`
-  on the batch axis via one jitted `.at[slots].set` scatter per group
-  (slot values are traced; one compile per group size). The model's RNG is
-  [B, 2] per-row streams (ops/sampling.row_keys), so a seeded request's
-  sample stream depends only on its own seed — traffic cannot perturb it;
-  seeded sampled requests additionally prefill solo so the first token is
+- admit: with group_admission, pending requests prefill TOGETHER
+  (medplib.stream_prefill over the concatenated batches, padded to a
+  power-of-2 bucket so prefill compiles stay logarithmic; per-row
+  temperature/top_p arrays); insertion into the shared StreamState is one
+  jitted `.at[slots].set` scatter per group on the batch axis (slot values
+  are traced; one compile per group size). The model's RNG is [B, 2]
+  per-row streams (ops/sampling.row_keys), so a seeded request's sample
+  stream depends only on its own seed — traffic cannot perturb it; seeded
+  sampled requests additionally prefill solo so the first token is
   seed-exact too.
 - decode: medplib.stream_decode_chunk over all slots. One greedy program;
   one sampling program whose per-ROW temperature/top_p arrays let a single
@@ -100,12 +100,8 @@ class Request:
 class BatchedEngine:
     def __init__(self, cfg: MedplibConfig, params, *, slots: int = 4,
                  max_new_tokens: int = 256, chunk: int = 8, eos_id: int = 2,
-                 prefill_tokens: Optional[int] = None,
                  group_admission: bool = False):
-        """`prefill_tokens` is unused (the collator fixes the prompt shape);
-        kept so callers can document their shape contract.
-
-        `group_admission=True` prefills pending requests together in one
+        """`group_admission=True` prefills pending requests together in one
         padded power-of-2 batch. Measured on v5e-1 through the axon tunnel
         (7B int8, 8 slots, 16 VQA requests x 32 tokens): per-request
         admission 128.6 tok/s vs grouped 100.6 — staggered admissions keep
@@ -337,7 +333,9 @@ class BatchedEngine:
 
     def _retire(self, slot: int):
         r = self._slot_req[slot]
-        r._seg = self._extract(self._state, jnp.int32(slot))
+        # np scalar: a jnp.int32() here would be its own eager device
+        # transfer through the tunnel; as a jit arg it converts at dispatch
+        r._seg = self._extract(self._state, np.int32(slot))
         self._slot_req[slot] = None
         r.chunks.put(None)
 
@@ -389,9 +387,10 @@ class BatchedEngine:
             for i in active:
                 temps[i, 0] = self._slot_req[i].temperature
                 tops[i, 0] = self._slot_req[i].top_p
+            # np arrays convert at jit dispatch; eager jnp.asarray would be
+            # two extra tunnel round trips per chunk
             self._state, toks, dones = self._chunk_sample(
-                self.params, self._state, jnp.asarray(temps),
-                jnp.asarray(tops))
+                self.params, self._state, temps, tops)
         else:
             self._state, toks, dones = self._chunk_greedy(self.params,
                                                           self._state)
