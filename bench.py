@@ -14,7 +14,8 @@ The north star in BASELINE.json is >=3x that per v5e chip.
 
 Default config = the production serving configuration: weight-only int8 LLM
 (utils/quantize.py, the framework's bitsandbytes-equivalent; per-channel
-scales, towers kept bf16) at batch 14 — 12.37 masks/s (4.95x). Overrides:
+scales, towers kept bf16; W8A8 dynamic activation quant on prefill) at
+batch 14 — 12.57 masks/s (5.03x). Overrides:
 BENCH_QUANT=bf16 BENCH_B=3 measures full-bf16; measured v5e ladder after the
 in-place KV-cache decode fix (models/llama.py forward_decode: the cache
 rides the layer-scan carry, killing an ~8 GB/step restack): int8 B=14 12.37,
@@ -137,8 +138,11 @@ def main():
 
     unroll = os.environ.get("BENCH_UNROLL", "0") == "1"
     # W8A8: dynamic per-row activation quant on prefill matmuls (2x-rate
-    # int8 MXU); decode stays weight-only (utils/quantize.dynamic_act_quant)
-    actq = use_int8 and os.environ.get("BENCH_ACTQ", "0") == "1"
+    # int8 MXU); decode stays weight-only (utils/quantize.dynamic_act_quant).
+    # DEFAULT ON for int8: the reference's bitsandbytes int8 path also
+    # quantizes activations (LLM.int8 8-bit matmul), and it measures 12.57
+    # vs 12.41 weight-only at B=14. BENCH_ACTQ=0 opts out.
+    actq = use_int8 and os.environ.get("BENCH_ACTQ", "1") == "1"
     gen = jax.jit(
         lambda p, b: medplib.generate(p, cfg, b, max_new_tokens=max_new,
                                       unroll_layers=unroll))
