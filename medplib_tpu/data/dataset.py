@@ -83,7 +83,6 @@ class LazySupervisedDataset:
         for item in self.records:
             for turn in item.get("conversations", []):
                 turn["value"] = str(turn["value"])
-        self.rng = random.Random(cfg.seed)
 
     def __len__(self):
         return len(self.records)
@@ -102,13 +101,15 @@ class LazySupervisedDataset:
             grid = pp.preprocess_region_mask(m, cfg.clip_image_size,
                                              cfg.clip_patch)
             if self.train and cfg.augment_regions:
-                # per-(sample, region) rng, not the shared self.rng:
+                # per-(sample, region) rng, not a shared Mersenne state:
                 # augmentation must be a pure function of (seed, index) so
                 # the threaded PrefetchLoader (data/loader.py) is
                 # schedule-independent and resume replay reproduces the
-                # exact batches
+                # exact batches. Integer mix — random.Random rejects tuple
+                # seeds on Python 3.11+.
                 grid, ok = pp.sub_component_augment(
-                    grid, rng=random.Random((cfg.seed, i, ri)))
+                    grid, rng=random.Random(
+                        cfg.seed * 1_000_003 + i * 1009 + ri))
                 region_valid = region_valid and ok
             region_masks.append(grid)
 

@@ -236,31 +236,38 @@ class BatchedEngine:
         shape (the collator's max_seq_len contract)."""
         if batch.input_ids.shape[0] != 1:
             raise ValueError("engine requests are single-sample batches")
+        if self._stop.is_set():
+            raise RuntimeError("engine shut down")
         r = Request(batch, region, temperature, top_p, seed,
                     min(max_new_tokens or self.max_new_tokens,
                         self.decode_budget))
         r._engine = self
         self._pending.put(r)
+        # a shutdown may have drained _pending between the guard above and
+        # the put: re-check so this request can't be stranded unserved
+        if self._stop.is_set():
+            self._fail_pending(RuntimeError("engine shut down"))
         return r
+
+    def _fail_pending(self, err: BaseException):
+        while True:
+            try:
+                r = self._pending.get_nowait()
+            except queue.Empty:
+                return
+            r.error = err
+            r.chunks.put(None)
 
     def shutdown(self):
         self._stop.set()
         self._thread.join(timeout=10)
         # fail everything still in flight or queued so no client blocks
-        # forever in Request.tokens()/__iter__
-        err = RuntimeError("engine shut down")
-        for i, r in enumerate(self._slot_req):
-            if r is not None:
-                self._slot_req[i] = None
-                r.error = err
-                r.chunks.put(None)
-        while True:
-            try:
-                r = self._pending.get_nowait()
-            except queue.Empty:
-                break
-            r.error = err
-            r.chunks.put(None)
+        # forever in Request.tokens()/__iter__ (submit() refuses new work
+        # once _stop is set, and re-drains if it raced the drain below)
+        # the loop thread fails slotted requests itself on exit (it may
+        # outlive the join timeout inside a long compile); pending drains
+        # here AND there, both idempotent
+        self._fail_pending(RuntimeError("engine shut down"))
 
     @property
     def active_requests(self) -> int:
@@ -352,6 +359,16 @@ class BatchedEngine:
                         self._slot_req[i] = None
                         r.chunks.put(None)
                 self._state = None
+        # stopping: terminate whatever is still slotted, even if shutdown's
+        # join timed out while this thread sat in a long compile — only this
+        # thread mutates _slot_req while it lives, so clients never hang
+        err = RuntimeError("engine shut down")
+        for i, r in enumerate(self._slot_req):
+            if r is not None:
+                self._slot_req[i] = None
+                r.error = err
+                r.chunks.put(None)
+        self._fail_pending(err)
 
     def _loop_once(self):
         # drain pending requests up to the free-slot count...

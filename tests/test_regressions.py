@@ -158,3 +158,62 @@ def test_streaming_decode_matches_generate():
                                   np.asarray(base.has_seg))
     np.testing.assert_allclose(np.asarray(masks),
                                np.asarray(base.pred_masks), atol=2e-3)
+
+
+def test_region_augmentation_trains_and_is_deterministic(tmp_path):
+    """Regression: the per-(sample, region) augmentation rng was seeded with
+    a TUPLE, which random.Random rejects on Python 3.11+ — every real
+    region-VQA training sample crashed. Also pins determinism: repeated
+    loads of the same index produce identical augmented grids (the
+    threaded-loader / resume-replay contract)."""
+    import json as jsonlib
+
+    import numpy as np
+    from PIL import Image
+
+    from medplib_tpu.data.dataset import DataConfig, LazySupervisedDataset
+
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.uniform(0, 255, (50, 70, 3)).astype(np.uint8)
+                    ).save(tmp_path / "img.png")
+    m = np.zeros((50, 70), np.uint8)
+    m[5:20, 10:30] = 255
+    m[30:45, 40:60] = 255  # two components: augmentation has work to do
+    Image.fromarray(m).save(tmp_path / "r.png")
+    records = [{
+        "image": str(tmp_path / "img.png"),
+        "answer_type": "open",
+        "conversations": [
+            {"from": "human",
+             "value": "<image>\nwhat is <region>r.png</region> ?"},
+            {"from": "gpt", "value": "a lesion"}],
+    }]
+    jsonlib.dump(records, open(tmp_path / "train.json", "w"))
+
+    class Tok:
+        bos_token_id = 1
+        pad_token_id = 0
+        eos_token_id = 2
+        model_max_length = 64
+
+        def __call__(self, text, add_special_tokens=True):
+            ids = ([1] if add_special_tokens else []) + [
+                3 + hash(w) % 200 for w in text.split()]
+
+            class R:
+                pass
+
+            r = R()
+            r.input_ids = ids
+            return r
+
+    cfg = DataConfig(data_path=str(tmp_path / "train.json"),
+                     image_folder=str(tmp_path), sam_image_size=64,
+                     clip_image_size=56)
+    assert cfg.augment_regions  # the default training path
+    ds = LazySupervisedDataset(cfg, Tok(), train=True)
+    s1 = ds[0]
+    s2 = ds[0]
+    assert s1["region_masks"], "region mask extracted"
+    np.testing.assert_array_equal(np.asarray(s1["region_masks"][0]),
+                                  np.asarray(s2["region_masks"][0]))
