@@ -36,6 +36,16 @@ class SegTok:
         return r
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_caches():
+    """Engine tests run threads that jit under memory pressure late in the
+    full suite; dropping every prior module's compiled programs keeps host
+    RAM headroom so an allocation failure inside the engine thread can't
+    flake the invariance asserts."""
+    jax.clear_caches()
+    yield
+
+
 @pytest.fixture(scope="module")
 def tiny():
     cfg = MedplibConfig.tiny()
