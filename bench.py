@@ -96,15 +96,26 @@ def main():
     from medplib_tpu.models import medplib
 
     num_layers = 4 if SMALL else 32
-    cfg = ge._flagship_cfg(num_layers=num_layers)
+    # BENCH_MOE=1: the FULL MedPLIB-7b-2e flagship — 32 layers x 2 experts
+    # (~13B params), top-1 routing — quantized int8 attn + int4h experts so
+    # it fits the 16 GB chip (utils/quantize.quantize_flagship_moe)
+    moe = os.environ.get("BENCH_MOE", "0") == "1"
+    cfg = ge._flagship_cfg(num_layers=num_layers, moe=moe)
     rng = np.random.default_rng(0)
-    log("init params...")
+    log("init params..." + (" [MoE 2e]" if moe else ""))
     # jit the whole init: eager init is hundreds of small device ops, each a
-    # round-trip through the axon tunnel (minutes); one fused program is secs
-    params = jax.jit(
-        lambda k: medplib.init_medplib(k, cfg, jnp.bfloat16)
-    )(jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
+    # round-trip through the axon tunnel (minutes); one fused program is secs.
+    # For the MoE flagship (13B-class) the strip + quantization happen INSIDE
+    # the init jit, so neither the dead dense-MLP stack nor the bf16 expert
+    # stacks (8.6 GB each) are ever materialized in HBM — only the final
+    # int8/int4 tree comes out.
+    if moe:
+        params = ge._init_flagship_moe_quantized(jax.random.PRNGKey(0), cfg)
+    else:
+        params = jax.jit(
+            lambda k: medplib.init_medplib(k, cfg, jnp.bfloat16)
+        )(jax.random.PRNGKey(0))
+        jax.block_until_ready(params)
     log("init done")
 
     # NOTE: packing is OFF by default: at 7B on 16G HBM the packed+int8
@@ -119,7 +130,11 @@ def main():
 
     quant = os.environ.get("BENCH_QUANT", "int8")
     use_int8 = quant == "int8"
-    if quant in ("int8", "int4"):
+    if moe:
+        # already quantized inside the init jit (int8 attn + int4h experts)
+        use_int8 = True
+        log("quantized flagship MoE (int8 attn + int4h experts)")
+    elif quant in ("int8", "int4"):
         # weight-only int8/int4 serving config (utils/quantize.py, the
         # bitsandbytes-equivalent path): halves/quarters LLM HBM -> bigger
         # batch + faster weight-bound decode
@@ -130,8 +145,11 @@ def main():
 
     # default batch tracks the precision: int8 fits B=12, bf16 tops out at 3
     # (7B params + KV cache in 16G HBM, see docstring ladder)
-    B = int(os.environ.get(
-        "BENCH_B", {"int8": "14", "int4": "12"}.get(quant, "3")))
+    if moe:
+        B = int(os.environ.get("BENCH_B", "8"))
+    else:
+        B = int(os.environ.get(
+            "BENCH_B", {"int8": "14", "int4": "12"}.get(quant, "3")))
     T_in = 48  # prompt tokens incl. <image> sentinel (splices to ~623)
     max_new = 10  # typical grounding answer: "It is <SEG>." + stop
     batch = ge._make_batch(cfg, B=B, T=T_in, rng=rng)
@@ -143,9 +161,12 @@ def main():
     # quantizes activations (LLM.int8 8-bit matmul), and it measures 12.57
     # vs 12.41 weight-only at B=14. BENCH_ACTQ=0 opts out.
     actq = use_int8 and os.environ.get("BENCH_ACTQ", "1") == "1"
+    # BENCH_KVQUANT=1: int8 KV cache with per-token-per-head scales — halves
+    # cache HBM and decode's cache-read traffic (models/llama.KVCache)
+    kvq = os.environ.get("BENCH_KVQUANT", "0") == "1"
     gen = jax.jit(
         lambda p, b: medplib.generate(p, cfg, b, max_new_tokens=max_new,
-                                      unroll_layers=unroll))
+                                      unroll_layers=unroll, kv_quant=kvq))
 
     if os.environ.get("BENCH_PHASES") == "1":
         # phases always measure the default scan path; BENCH_UNROLL only
@@ -182,7 +203,8 @@ def main():
     masks_per_sec = B / dt
 
     print(json.dumps({
-        "metric": "pixel_grounding_masks_per_sec_per_chip",
+        "metric": ("moe_pixel_grounding_masks_per_sec_per_chip" if moe
+                   else "pixel_grounding_masks_per_sec_per_chip"),
         "value": round(masks_per_sec, 3),
         "unit": "masks/s",
         "vs_baseline": round(masks_per_sec / H100_REFERENCE_MASKS_PER_SEC, 3),

@@ -182,16 +182,25 @@ def bench_seg(tiny: bool):
 
 
 def bench_icl(tiny: bool):
-    """Config 5: MoE + 2 in-context (image, mask) example pairs."""
+    """Config 5: MoE + 2 in-context (image, mask) example pairs — FULL
+    depth (32L x 2 experts, the shipped MedPLIB-7b-2e architecture),
+    quantized int8 attn + int4h experts to fit 16 GB HBM
+    (utils/quantize.quantize_flagship_moe)."""
     from medplib_tpu.config import IMAGE_TOKEN_INDEX, MoeConfig
     from medplib_tpu.models import medplib
-    cfg = _cfg(tiny, 12 if not tiny else 2)  # MoE doubles FFN weights: fit HBM
+    cfg = _cfg(tiny, 32 if not tiny else 2)
     cfg = dataclasses.replace(
         cfg, icl_enable=True,
         moe=MoeConfig(enable=True, num_experts=2, top_k=1,
                       capacity_factor=1.5, eval_capacity_factor=2.0,
                       moe_mode="dense"))
-    params = _params(cfg, jnp.float32 if tiny else jnp.bfloat16)
+    if tiny:
+        params = _params(cfg, jnp.float32)
+    else:
+        # quantized layer-by-layer init: the bf16 13B tree never
+        # materializes (__graft_entry__._init_flagship_moe_quantized)
+        import __graft_entry__ as ge
+        params = ge._init_flagship_moe_quantized(jax.random.PRNGKey(0), cfg)
     B, T, new = (1, 24, 2) if tiny else (1, 64, 10)
     n_img = 3  # query + 2 icl example images
     rng = np.random.default_rng(0)
@@ -223,43 +232,60 @@ def bench_icl(tiny: bool):
 
 
 def bench_train(tiny: bool):
-    """Config 6 (extra): training-step throughput (tok/s) — full-width model
-    at reduced depth so params+grads fit one chip; stage-3-style seg SFT
-    shapes."""
-    from medplib_tpu.models import medplib
-    cfg = _cfg(tiny, 8)
+    """Config 6 (extra): FULL-DEPTH (32L) stage-3-style QLoRA training on
+    one chip — frozen int8 7B base + bf16 LoRA adapters + sft heads,
+    remat (the single-chip analog of train_stage3.sh; the partitioned
+    train step differentiates only trainable leaves, train/trainer.py).
+    Reports tok/s and the training loss for a finiteness check."""
+    from medplib_tpu.config import TrainConfig
+    from medplib_tpu.train import lora as lora_lib
+    from medplib_tpu.train.trainer import create_state, make_train_step
+    cfg = _cfg(tiny, 2 if tiny else 32)
     dtype = jnp.float32 if tiny else jnp.bfloat16
     params = _params(cfg, dtype)
+    if not tiny:
+        from medplib_tpu.utils import quantize as qz
+        params["llm"] = qz.quantize_tree(params["llm"])
+        jax.block_until_ready(params)
+    params["llm"] = lora_lib.inject(jax.random.PRNGKey(1), params["llm"],
+                                    ("q_proj", "v_proj"), r=8)
     B, T = (2, 16) if tiny else (2, 48)
     import __graft_entry__ as ge
     batch = ge._make_batch(cfg, B=B, T=T, rng=np.random.default_rng(0))
-
-    def train_step(p, b):
-        def loss_fn(q):
-            return medplib.model_forward(q, cfg, b, train=True,
-                                         remat=True)["loss"]
-        loss, grads = jax.value_and_grad(loss_fn)(p)
-        return jax.tree_util.tree_map(lambda w, g: w - 1e-6 * g, p, grads)
-
-    dt = _timed(jax.jit(train_step), params, batch, iters=3)
+    batches = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (1,) + x.shape), batch)
+    tcfg = TrainConfig(lr=1e-4, warmup_steps=1, total_steps=100,
+                       grad_accumulation_steps=1)
+    state, tx = create_state(params, tcfg)
+    step = jax.jit(make_train_step(cfg, tcfg, tx))
+    # timed WITHOUT donation so the same state can repeat; one warm call
+    state2, metrics = step(state, batches)
+    loss = float(metrics["loss"])
+    dt = _timed(lambda s, b: step(s, b)[1]["loss"], state, batches, iters=3)
     toks = B * (T - 1 + cfg.vision.num_patches)
     _report(6, "train_step_throughput", toks / dt, "tok/s")
+    _report(6, "train_loss_finite", float(np.isfinite(loss)), "bool")
 
 
 def bench_long_context(tiny: bool):
-    """Config 7 (extra): 8k-token prefill throughput — the 3-shot separate
-    ICL regime (infer_medplib_icl.sh:32-34 suggests ctx 8192); exercises the
-    streaming flash-attention kernel (ops/pallas/flash_attention.py)."""
+    """Config 7 (extra): 8k-token prefill throughput at FULL depth (32L,
+    int8 weights + W8A8) — the 3-shot separate ICL regime
+    (infer_medplib_icl.sh:32-34 suggests ctx 8192); exercises the streaming
+    flash-attention kernel (ops/pallas/flash_attention.py)."""
     from medplib_tpu.models import llama
     from medplib_tpu.config import LlamaConfig
     if tiny:
         cfg, B, T = LlamaConfig.tiny(), 1, 256
     else:
-        cfg, B, T = LlamaConfig(num_layers=8), 1, 8192
+        cfg, B, T = LlamaConfig(num_layers=32), 1, 8192
     dtype = jnp.float32 if tiny else jnp.bfloat16
     params = jax.jit(lambda k: llama.init_llama(k, cfg, dtype))(
         jax.random.PRNGKey(0))
     jax.block_until_ready(params)
+    if not tiny:
+        from medplib_tpu.utils import quantize as qz
+        params = qz.quantize_tree(params)
+        jax.block_until_ready(params)
     x = jax.random.randint(jax.random.PRNGKey(1), (B, T), 3, 1000)
     mask = jnp.ones((B, T), jnp.int32)
 
@@ -331,9 +357,42 @@ def bench_engine(tiny: bool):
     _report(8, "serving_engine_requests", n_req / dt, "req/s")
 
 
+def bench_ttft_buckets(tiny: bool):
+    """Config 9 (extra): prompt-shape buckets (serve/worker.py) — TTFT for
+    a 40-token VQA prompt collated at the 128 bucket vs the legacy fixed
+    512 width (same weights, same int8 serving config)."""
+    from medplib_tpu.models import medplib
+    cfg = _cfg(tiny, 2 if tiny else 32)
+    params = _params(cfg, jnp.float32 if tiny else jnp.bfloat16)
+    if not tiny:
+        from medplib_tpu.utils import quantize as qz
+        params = qz.quantize_tree(params)
+        jax.block_until_ready(params)
+    prefill = jax.jit(lambda p, b: medplib.stream_prefill(
+        p, cfg, b, max_new_tokens=32))
+    for T in ((16, 24) if tiny else (128, 512)):
+        batch = _vqa_batch(cfg, 1, 40 if not tiny else 8)
+        pad = T - batch.input_ids.shape[1]
+        batch = batch._replace(
+            input_ids=jnp.pad(batch.input_ids, ((0, 0), (0, pad))),
+            input_mask=jnp.pad(batch.input_mask, ((0, 0), (0, pad))),
+            labels=jnp.pad(batch.labels, ((0, 0), (0, pad)),
+                           constant_values=-100))
+        state = prefill(params, batch)
+        _ = int(np.asarray(state.tok)[0])  # compile + sync
+        times = []
+        for _i in range(7):
+            t0 = time.time()
+            state = prefill(params, batch)
+            _ = int(np.asarray(state.tok)[0])
+            times.append(time.time() - t0)
+        _report(9, f"ttft_p50_bucket_{T}",
+                sorted(times)[len(times) // 2] * 1e3, "ms")
+
+
 BENCHES = {1: bench_clip, 2: bench_vqa, 3: bench_region, 4: bench_seg,
            5: bench_icl, 6: bench_train, 7: bench_long_context,
-           8: bench_engine}
+           8: bench_engine, 9: bench_ttft_buckets}
 
 
 def main(argv=None):

@@ -85,7 +85,9 @@ class MoeConfig:
     # (medplib_moe_llama.py:576-600); "dense" = every layer is MoE.
     moe_mode: str = "dense"
     moe_layers_idx: Optional[Tuple[int, ...]] = None
-    ep_size: int = 1
+    # NOTE: the reference's --ep_size (deepspeed expert-parallel degree,
+    # train_ds_medplib.py) has its home in MeshConfig.expert here — the
+    # mesh axis IS the EP degree, so the knob is not duplicated.
 
     def layer_indices(self, num_layers: int) -> Tuple[int, ...]:
         """Which decoder layers get an MoE MLP (medplib_moe_llama.py:576-600)."""
@@ -328,7 +330,10 @@ def from_json(s: str) -> Any:
     def dec(o):
         if isinstance(o, dict) and "__type__" in o:
             cls = _CONFIG_TYPES[o.pop("__type__")]
-            kwargs = {k: dec(v) for k, v in o.items()}
+            # drop unknown keys so checkpoints persisted with an older
+            # schema (e.g. the removed MoeConfig.ep_size) still load
+            known = {f.name for f in dataclasses.fields(cls)}
+            kwargs = {k: dec(v) for k, v in o.items() if k in known}
             for f in dataclasses.fields(cls):
                 if f.name in kwargs and isinstance(kwargs[f.name], list):
                     kwargs[f.name] = tuple(kwargs[f.name])

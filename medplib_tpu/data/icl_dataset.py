@@ -33,19 +33,27 @@ MASK_TAG = re.compile(r"<mask>(.*?)</mask>")
 class ICLLazySupervisedDataset(LazySupervisedDataset):
     def __init__(self, cfg: DataConfig, tokenizer, train: bool = True,
                  mask_mode: str = "overlay", use_mask_encoder: bool = False,
-                 image_tokens: int = 576, mask_tokens: int = 64):
+                 image_tokens: int = 576, mask_tokens: int = 64,
+                 max_examples: int = 3,
+                 mask_input_size: Optional[int] = None):
+        """max_examples: MedplibConfig.max_icl_examples — cap on in-context
+        (image, mask) pairs per sample. mask_input_size:
+        ProjectorConfig.mask_input_size — the frame example masks are
+        rendered at for the mask encoder (defaults to the CLIP size)."""
         super().__init__(cfg, tokenizer, train)
         assert mask_mode in ("overlay", "separate")
         self.mask_mode = mask_mode
         self.use_mask_encoder = use_mask_encoder and mask_mode == "separate"
         self.image_tokens = image_tokens
         self.mask_tokens = mask_tokens
+        self.max_examples = max_examples
+        self.mask_input_size = mask_input_size or cfg.clip_image_size
 
     # ---- example resolution (ICLLazySupervisedDataset.py:98-126) ----
     def _flat_examples(self, source: Dict) -> List[Dict[str, str]]:
         examples = source.get("icl_examples", source.get("examples", []))
         if examples:
-            return examples[:3]
+            return examples[: self.max_examples]
         indexed = sorted(int(k[len("image"):]) for k in source
                          if k.startswith("image") and k[len("image"):].isdigit())
         if not indexed:
@@ -59,7 +67,7 @@ class ICLLazySupervisedDataset(LazySupervisedDataset):
         out = [{"image": source[f"image{i}"], "mask": source[f"mask{i}"]}
                for i in indexed
                if i != target_idx and f"mask{i}" in source]
-        return out[:3]
+        return out[: self.max_examples]
 
     def _expected_image_tokens(self, n: int) -> int:
         """separate mode uses one <image> sentinel per example image AND one
@@ -125,7 +133,8 @@ class ICLLazySupervisedDataset(LazySupervisedDataset):
     def __getitem__(self, i: int) -> Dict:
         raw = self.records[i]
         examples = self._flat_examples(raw)
-        assert 1 <= len(examples) <= 3, "ICL needs 1-3 examples"
+        assert 1 <= len(examples) <= self.max_examples, (
+            f"ICL needs 1-{self.max_examples} examples")
         source = self._prepare_source(raw, len(examples))
         cfg = self.cfg
 
@@ -139,8 +148,9 @@ class ICLLazySupervisedDataset(LazySupervisedDataset):
         # slots: (clip_image, mask_image, type, token_length) — one entry
         # per <image> sentinel, strictly aligned
         s = cfg.clip_image_size
+        ms = self.mask_input_size  # ProjectorConfig.mask_input_size frame
         zero_clip = np.zeros((s, s, 3), np.float32)
-        zero_mask = np.zeros((s, s), np.float32)
+        zero_mask = np.zeros((ms, ms), np.float32)
         slots = []
         for ex in examples:
             ex_rgb = pp.load_image_rgb(self._resolve(ex["image"]))
@@ -150,8 +160,8 @@ class ICLLazySupervisedDataset(LazySupervisedDataset):
                               "image", self.image_tokens))
                 if self.use_mask_encoder:
                     resized = pp.resize_longest_side(
-                        (ex_mask * 255).astype(np.uint8), s)
-                    padded = pp.center_pad(resized, s, 0)
+                        (ex_mask * 255).astype(np.uint8), ms)
+                    padded = pp.center_pad(resized, ms, 0)
                     slots.append((zero_clip, (padded > 0).astype(np.float32),
                                   "mask", self.mask_tokens))
                 else:
@@ -201,15 +211,19 @@ def collate_icl(samples, cc: CollatorConfig, max_slots: int = 7,
                 mask_tokens: int = 64):
     """ICL collator: per-slot CLIP images, mask-encoder inputs, token-type
     flags (DataCollatorForSupervisedDataset.py:105-108 keeps these ragged;
-    here fixed max_slots = 3 examples * 2 + query)."""
+    here fixed max_slots = max_icl_examples * 2 + query)."""
     B = len(samples)
     T = cc.max_seq_len
     s = cc.clip_image_size
+    # the mask-encoder frame follows the dataset (ProjectorConfig.
+    # mask_input_size); fall back to the CLIP size for mask-free samples
+    ms = (samples[0]["mask_images"].shape[-1]
+          if samples and len(samples[0]["mask_images"]) else s)
     ids = np.full((B, T), cc.pad_token_id, np.int64)
     mask = np.zeros((B, T), np.int32)
     labels = np.full((B, T), IGNORE_INDEX, np.int64)
     clip = np.zeros((B, max_slots, s, s, 3), np.float32)
-    mask_imgs = np.zeros((B, max_slots, s, s), np.float32)
+    mask_imgs = np.zeros((B, max_slots, ms, ms), np.float32)
     is_mask = np.zeros((B, max_slots), np.int32)
     itl = np.zeros((B, max_slots), np.int32)
     sam = np.zeros((B, cc.sam_image_size, cc.sam_image_size, 3), np.float32)

@@ -34,18 +34,38 @@ Params = Dict[str, Any]
 
 
 class KVCache(NamedTuple):
-    """Static-shape KV cache. k/v: [L, B, MAX, KV_HEADS, D]; length: [B]."""
+    """Static-shape KV cache. k/v: [L, B, MAX, KV_HEADS, D]; length: [B].
+
+    With `quant=True` (int8 KV, VERDICT round-2 task 7) k/v are int8 and
+    k_scale/v_scale carry per-token-per-head f32 absmax scales
+    [L, B, MAX, KV_HEADS, 1] — cache HBM halves, which is decode's
+    bottleneck; dequant fuses into the attention read
+    (ops/attention.decode_attention_quant)."""
 
     k: jnp.ndarray
     v: jnp.ndarray
     length: jnp.ndarray
+    k_scale: Optional[jnp.ndarray] = None
+    v_scale: Optional[jnp.ndarray] = None
 
     @staticmethod
-    def init(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    def init(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
+             quant: bool = False):
         shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        if quant:
+            sshape = shape[:-1] + (1,)
+            return KVCache(
+                k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+                length=jnp.zeros((batch,), jnp.int32),
+                k_scale=jnp.zeros(sshape, jnp.float32),
+                v_scale=jnp.zeros(sshape, jnp.float32))
         return KVCache(
             k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
             length=jnp.zeros((batch,), jnp.int32))
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
 
 # ---------------------------------------------------------------------------
@@ -111,6 +131,9 @@ def dense_mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
             # dequantized kernel otherwise (ops/pallas/int8_matmul.py)
             from medplib_tpu.ops.pallas.int8_matmul import int8_matmul
             gu = int8_matmul(x, gp["kernel"], gp["scale"])
+        elif "scale4h" in gp:
+            from medplib_tpu.ops.pallas.int4_matmul import int4h_matmul_pallas
+            gu = int4h_matmul_pallas(x, gp["kernel"], gp["scale4h"])
         else:
             gu = lora_linear(gp, x)
         gate, up = jnp.split(gu, 2, axis=-1)
@@ -133,6 +156,10 @@ def _qkv(p: Params, x: jnp.ndarray, cfg: LlamaConfig, cos, sin):
         if "scale" in qp and qp["kernel"].dtype == jnp.int8:
             from medplib_tpu.ops.pallas.int8_matmul import int8_matmul_t
             qkv = int8_matmul_t(x, qp["kernel"], qp["scale"])
+        elif "scale4h" in qp:
+            from medplib_tpu.ops.pallas.int4_matmul import (
+                int4h_matmul_t_pallas)
+            qkv = int4h_matmul_t_pallas(x, qp["kernel"], qp["scale4h"])
         else:
             qkv = lora_linear_t(qp, x)
         qd = cfg.num_heads * cfg.head_dim
@@ -250,14 +277,25 @@ def forward(
     if cache is not None:
         max_len = cache.k.shape[2]
         pad = max_len - t
-        ks = jnp.pad(ks, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
-        vs = jnp.pad(vs, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
         if attn_mask is not None:
             length = jnp.sum(attn_mask.astype(jnp.int32), axis=-1)
         else:
             length = jnp.full((b,), t, jnp.int32)
-        new_cache = KVCache(k=ks.astype(cache.k.dtype),
-                            v=vs.astype(cache.v.dtype), length=length)
+
+        def padt(a):
+            return jnp.pad(a, ((0, 0), (0, 0), (0, pad)) +
+                           ((0, 0),) * (a.ndim - 3))
+
+        if cache.quantized:
+            from medplib_tpu.ops.attention import quantize_kv
+            kq, ksc = quantize_kv(ks)
+            vq, vsc = quantize_kv(vs)
+            new_cache = KVCache(k=padt(kq), v=padt(vq), length=length,
+                                k_scale=padt(ksc), v_scale=padt(vsc))
+        else:
+            new_cache = KVCache(k=padt(ks).astype(cache.k.dtype),
+                                v=padt(vs).astype(cache.v.dtype),
+                                length=length)
     return x, new_cache, aux_loss
 
 
@@ -274,6 +312,10 @@ def forward_decode(
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
     if unroll:
+        if cache.quantized:
+            raise NotImplementedError(
+                "int8 KV cache is scan-path only (unroll_layers is a "
+                "measured-slower ladder knob, models/llama.py forward)")
         x = input_embeds
         ks_l, vs_l = [], []
         for i in range(cfg.num_layers):
@@ -285,6 +327,7 @@ def forward_decode(
             ks_l.append(k_c)
             vs_l.append(v_c)
         ks, vs = jnp.stack(ks_l), jnp.stack(vs_l)
+        kss = vss = None
     else:
         # The FULL cache rides the scan CARRY and only the new token slots
         # are scattered in. Passing per-layer caches as scan xs and
@@ -292,31 +335,50 @@ def forward_decode(
         # [L, B, MAX, KV, D] cache every decode step (~8 GB of HBM writes
         # at 7B/B=12 — measured as ~2/3 of the step time); in-place carry
         # scatters write B*KV*D elements per layer instead.
+        quant = cache.quantized
+
         def body(carry, layer_in):
-            x, ks, vs = carry
+            x, ks, vs, kss, vss = carry
             layer_p, i = layer_in
             h = rms_norm(x, layer_p["input_layernorm"]["weight"],
                          cfg.rms_norm_eps)
             q, k, v = _qkv(layer_p["attn"], h, cfg, cos, sin)
             b = x.shape[0]
             bidx = jnp.arange(b)
-            ks = ks.at[i, bidx, cache.length].set(k[:, 0])
-            vs = vs.at[i, bidx, cache.length].set(v[:, 0])
-            k_c = jax.lax.dynamic_index_in_dim(ks, i, 0, keepdims=False)
-            v_c = jax.lax.dynamic_index_in_dim(vs, i, 0, keepdims=False)
-            attn = decode_attention(q, k_c, v_c, cache.length + 1)
+            if quant:
+                from medplib_tpu.ops.attention import (
+                    decode_attention_quant, quantize_kv)
+                kq, ksc = quantize_kv(k[:, 0])
+                vq, vsc = quantize_kv(v[:, 0])
+                ks = ks.at[i, bidx, cache.length].set(kq)
+                vs = vs.at[i, bidx, cache.length].set(vq)
+                kss = kss.at[i, bidx, cache.length].set(ksc)
+                vss = vss.at[i, bidx, cache.length].set(vsc)
+                idx = lambda a: jax.lax.dynamic_index_in_dim(  # noqa: E731
+                    a, i, 0, keepdims=False)
+                attn = decode_attention_quant(q, idx(ks), idx(kss),
+                                              idx(vs), idx(vss),
+                                              cache.length + 1)
+            else:
+                ks = ks.at[i, bidx, cache.length].set(k[:, 0])
+                vs = vs.at[i, bidx, cache.length].set(v[:, 0])
+                k_c = jax.lax.dynamic_index_in_dim(ks, i, 0, keepdims=False)
+                v_c = jax.lax.dynamic_index_in_dim(vs, i, 0, keepdims=False)
+                attn = decode_attention(q, k_c, v_c, cache.length + 1)
             x = x + lora_linear(layer_p["attn"]["o_proj"],
                                 attn.reshape(b, 1, -1))
             h = rms_norm(x, layer_p["post_attention_layernorm"]["weight"],
                          cfg.rms_norm_eps)
             y, _ = mlp_apply(layer_p, h)
-            return (x + y, ks, vs), ()
+            return (x + y, ks, vs, kss, vss), ()
 
-        (x, ks, vs), _ = jax.lax.scan(
-            body, (input_embeds, cache.k, cache.v),
+        (x, ks, vs, kss, vss), _ = jax.lax.scan(
+            body, (input_embeds, cache.k, cache.v, cache.k_scale,
+                   cache.v_scale),
             (params["layers"], jnp.arange(cfg.num_layers)))
     x = rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps)
-    return x, KVCache(k=ks, v=vs, length=cache.length + 1)
+    return x, KVCache(k=ks, v=vs, length=cache.length + 1,
+                      k_scale=kss, v_scale=vss)
 
 
 def embed(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:

@@ -410,7 +410,8 @@ def generate(params: Params, cfg: MedplibConfig, batch: Batch,
              ground: bool = True,
              max_segs: int = 1,
              do_sample: bool = False, temperature=1.0, top_p=1.0,
-             rng: Optional[jax.Array] = None) -> GenerateResult:
+             rng: Optional[jax.Array] = None,
+             kv_quant: bool = False) -> GenerateResult:
     """Decode + pixel grounding, fully jit-able.
 
     Reproduces model.evaluate(): generate with hidden-state harvesting, find
@@ -427,8 +428,9 @@ def generate(params: Params, cfg: MedplibConfig, batch: Batch,
     t_out = embeds.shape[1]
     max_len = t_out + max_new_tokens
 
+    # kv_quant: int8 cache with per-token-per-head scales (llama.KVCache)
     cache = llama.KVCache.init(cfg.llm, b, max_len,
-                               dtype=embeds.dtype)
+                               dtype=embeds.dtype, quant=kv_quant)
     hidden, cache, _ = _llm_forward(params, cfg, embeds, attn_mask,
                                     cache=cache, train=False,
                                     ep_shard=ep_shard, unroll=unroll_layers)
@@ -517,7 +519,8 @@ def stream_prefill(params: Params, cfg: MedplibConfig, batch: Batch,
                    max_new_tokens: int, rp_flag: bool = False,
                    max_segs: int = 1,
                    do_sample: bool = False, temperature=1.0, top_p=1.0,
-                   rng: Optional[jax.Array] = None) -> StreamState:
+                   rng: Optional[jax.Array] = None,
+                   kv_quant: bool = False) -> StreamState:
     """Splice + prefill; returns the carry for stream_decode_chunk. SEG
     capture semantics match generate() (this step's hidden; prompt SEGs and
     first-generated-token SEG included)."""
@@ -527,7 +530,7 @@ def stream_prefill(params: Params, cfg: MedplibConfig, batch: Batch,
     embeds, _, attn_mask, seg_mask_prompt, _ = splice_batch(
         params, cfg, batch, need_region=rp_flag)
     cache = llama.KVCache.init(cfg.llm, b, embeds.shape[1] + max_new_tokens,
-                               dtype=embeds.dtype)
+                               dtype=embeds.dtype, quant=kv_quant)
     hidden, cache, _ = _llm_forward(params, cfg, embeds, attn_mask,
                                     cache=cache, train=False)
     last_idx = jnp.maximum(jnp.sum(attn_mask, -1) - 1, 0)

@@ -78,6 +78,18 @@ def init_moe_llama(key, cfg: LlamaConfig, moe_cfg: MoeConfig,
     return params
 
 
+def strip_dense_mlp(params: Params, cfg: LlamaConfig,
+                    moe_cfg: MoeConfig) -> Params:
+    """Drop the dense MLP stack when EVERY layer is MoE (moe_mode=dense,
+    the flagship): init_llama's mlp kernels are then dead weight — 8.6 GB
+    bf16 at 7B — that would otherwise ride the layer scan as unused xs.
+    Mixed modes keep it (the lax.cond dense branch reads it). Mutates."""
+    idx = moe_cfg.layer_indices(cfg.num_layers)
+    if len(idx) == cfg.num_layers and "mlp" in params["layers"]:
+        del params["layers"]["mlp"]
+    return params
+
+
 def moe_flags(cfg: LlamaConfig, moe_cfg: MoeConfig) -> np.ndarray:
     """[L] int32, 1 where the layer MLP is MoE. Plain numpy so it stays a
     compile-time constant even when computed inside a trace."""

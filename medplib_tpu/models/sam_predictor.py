@@ -252,6 +252,10 @@ def generate_masks(predictor: SamPredictor, image_rgb: np.ndarray,
     decode in ONE mask-decoder call (the reference loops points_per_batch
     chunks)."""
     h, w = image_rgb.shape[:2]
+    # legacy alias resolved ONCE so per-crop NMS and cross-crop dedup use
+    # the same threshold
+    if nms_iou_thresh is not None:
+        box_nms_thresh = nms_iou_thresh
     crops = _crop_boxes(h, w, crop_n_layers, crop_overlap_ratio)
     records: List[Dict] = []
     for (x0, y0, x1, y1, layer) in crops:
@@ -261,8 +265,7 @@ def generate_masks(predictor: SamPredictor, image_rgb: np.ndarray,
         recs = _process_crop(
             predictor, crop_img, pps, pred_iou_thresh,
             stability_score_thresh, stability_score_offset,
-            nms_iou_thresh if nms_iou_thresh is not None else box_nms_thresh,
-            min_area)
+            box_nms_thresh, min_area)
         for r in recs:
             # paste crop-frame mask back into the full image frame
             if (x0, y0, x1, y1) != (0, 0, w, h):

@@ -108,3 +108,43 @@ def decode_attention(
     logits = jnp.where(valid, logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhts,bshd->bthd", probs, v)
+
+
+def decode_attention_quant(
+    q: jnp.ndarray,
+    k_q: jnp.ndarray, k_s: jnp.ndarray,
+    v_q: jnp.ndarray, v_s: jnp.ndarray,
+    cache_len: jnp.ndarray,
+) -> jnp.ndarray:
+    """Decode attention over an int8-quantized KV cache (per-token-per-head
+    symmetric scales). Decode is HBM-bound on cache reads — int8 halves
+    that traffic (VERDICT round-2 task 7; beyond the reference's scope).
+
+    q [B, 1, H, D]; k_q/v_q [B, MAX, KV, D] int8; k_s/v_s [B, MAX, KV, 1]
+    f32 absmax/127 scales. The scales are applied AFTER the dots (scores *=
+    k_s per position; probs *= v_s before the value dot), so no dequantized
+    bf16 copy of the cache is ever materialized — the int8->bf16 cast fuses
+    into the dot operand read."""
+    n_rep = q.shape[2] // k_q.shape[2]
+    k = _repeat_kv(k_q.astype(q.dtype), n_rep)
+    v = _repeat_kv(v_q.astype(q.dtype), n_rep)
+    ks = jnp.moveaxis(_repeat_kv(k_s, n_rep), (1, 2, 3), (3, 1, 2))  # [B,H,1,S]
+    vs = jnp.moveaxis(_repeat_kv(v_s, n_rep), (1, 2, 3), (3, 1, 2))
+    d = q.shape[-1]
+    logits = jnp.einsum("bthd,bshd->bhts", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits * ks.astype(jnp.float32) * (d ** -0.5)
+    pos = jnp.arange(k.shape[1])[None, None, None, :]
+    valid = pos < cache_len.reshape(-1, 1, 1, 1)
+    logits = jnp.where(valid, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = (probs * vs.astype(jnp.float32)).astype(q.dtype)
+    return jnp.einsum("bhts,bshd->bthd", probs, v)
+
+
+def quantize_kv(x: jnp.ndarray):
+    """[..., D] -> (int8 values, f32 scale [..., 1]); symmetric absmax per
+    leading index (per token per head for cache writes)."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), -1, keepdims=True), 1e-6) / 127.0
+    return jnp.round(xf / s).astype(jnp.int8), s

@@ -221,13 +221,19 @@ def moe_mlp(
     ek = moe_params["experts"]
     from medplib_tpu.train.lora import dequant_kernel
 
-    h1 = jnp.einsum("ech,ehm->ecm", expert_in,
-                    dequant_kernel(ek["gate_proj"], x.dtype))
-    h2 = jnp.einsum("ech,ehm->ecm", expert_in,
-                    dequant_kernel(ek["up_proj"], x.dtype))
+    def expert_mm(node, xin):
+        # int4 "half" experts go through the fused grouped dots (no bf16
+        # expert-stack materialization — the flagship's HBM fit-path)
+        if "scale4h" in node and node["kernel"].ndim == 3:
+            from medplib_tpu.utils.quantize import int4h_expert_einsum
+            return int4h_expert_einsum(xin, node["kernel"], node["scale4h"])
+        return jnp.einsum("ech,ehm->ecm", xin,
+                          dequant_kernel(node, x.dtype))
+
+    h1 = expert_mm(ek["gate_proj"], expert_in)
+    h2 = expert_mm(ek["up_proj"], expert_in)
     act = jax.nn.silu(h1) * h2
-    out_e = jnp.einsum("ecm,emh->ech", act,
-                       dequant_kernel(ek["down_proj"], x.dtype))
+    out_e = expert_mm(ek["down_proj"], act)
     if ep_shard:
         out_e = jax.lax.with_sharding_constraint(
             out_e, P(AXIS_EXPERT, None, None))
@@ -248,10 +254,10 @@ def moe_mlp(
         # with the experts and the two outputs are mixed by a learned 2-way
         # softmax coefficient of the input token.
         rk = moe_params["residual_mlp"]
-        r1 = xs @ dequant_kernel(rk["gate_proj"], x.dtype)
-        r2 = xs @ dequant_kernel(rk["up_proj"], x.dtype)
-        r_out = (jax.nn.silu(r1) * r2) @ dequant_kernel(rk["down_proj"],
-                                                        x.dtype)
+        from medplib_tpu.train.lora import linear as lora_linear
+        r1 = lora_linear(rk["gate_proj"], xs)
+        r2 = lora_linear(rk["up_proj"], xs)
+        r_out = lora_linear(rk["down_proj"], jax.nn.silu(r1) * r2)
         ck = moe_params["coefficient"]
         # dequant-aware (defense in depth: "coefficient" is also in
         # quantize.SKIP_MODULES like the router — gating layers are

@@ -66,8 +66,15 @@ class Request:
         self.emitted = 0   # delivered tokens
         self.steps = 0     # decode steps consumed (KV-cache budget)
         self.error: Optional[BaseException] = None
+        self.cancelled = False
         self._seg = None      # (seg_emb [1,S,H], seg_count [1], last_cap [1,H])
         self._engine: Optional["BatchedEngine"] = None
+
+    def cancel(self):
+        """Ask the engine to retire this request at the next chunk boundary
+        (e.g. a client-side stop string landed). Safe from any thread; the
+        stream still ends with the usual terminator."""
+        self.cancelled = True
 
     def __iter__(self):
         while True:
@@ -100,7 +107,9 @@ class Request:
 class BatchedEngine:
     def __init__(self, cfg: MedplibConfig, params, *, slots: int = 4,
                  max_new_tokens: int = 256, chunk: int = 8, eos_id: int = 2,
-                 group_admission: bool = False):
+                 group_admission: bool = False,
+                 max_prompt_len: Optional[int] = None,
+                 kv_quant: bool = False):
         """`group_admission=True` prefills pending requests together in one
         padded power-of-2 batch. Measured on v5e-1 through the axon tunnel
         (7B int8, 8 slots, 16 VQA requests x 32 tokens): per-request
@@ -108,12 +117,21 @@ class BatchedEngine:
         a rolling pipeline of near-full decode chunks, while synchronized
         waves serialize big prefills with idle decode gaps. Default is the
         measured winner; grouped stays available for dispatch-latency-bound
-        deployments."""
+        deployments.
+
+        `max_prompt_len` enables prompt-shape BUCKETS: requests may arrive
+        collated at any width <= max_prompt_len (the worker picks the
+        smallest bucket that fits, so short VQA prompts skip most of the
+        max-width prefill cost); their KV states are padded up to the shared
+        slot shape at insert. None keeps the legacy contract — the first
+        request's shape defines the engine's only accepted shape."""
         self.group_admission = group_admission
         self.cfg, self.params = cfg, params
         self.slots = slots
         self.chunk = chunk
         self.eos_id = eos_id
+        self.max_prompt_len = max_prompt_len
+        self.kv_quant = kv_quant
         # the shared cache must cover whole chunks for the longest request
         self.decode_budget = -(-max_new_tokens // chunk) * chunk
         self.max_new_tokens = max_new_tokens
@@ -131,7 +149,8 @@ class BatchedEngine:
                     lambda *xs: jnp.concatenate(xs, 0), *bs))
                 return medplib.stream_prefill(
                     p, cfg, b, max_new_tokens=self.decode_budget, rp_flag=rp,
-                    do_sample=ds, temperature=t, top_p=tp, rng=k)
+                    do_sample=ds, temperature=t, top_p=tp, rng=k,
+                    kv_quant=kv_quant)
 
             return jax.jit(run)
 
@@ -147,6 +166,9 @@ class BatchedEngine:
                 temperature=t, top_p=tp),
             donate_argnums=(1,))
         self._insert = jax.jit(self._insert_impl, donate_argnums=(0,))
+        self._pad_time = jax.jit(self._pad_time_impl,
+                                 static_argnames=("target",),
+                                 donate_argnums=(0,))
         self._make_empty = jax.jit(functools.partial(
             self._make_empty_impl, slots=slots), static_argnames=("slots",))
         self._extract = jax.jit(self._extract_impl)
@@ -178,10 +200,15 @@ class BatchedEngine:
                 return b.at[slots_vec].set(s)
             return b.at[:, slots_vec].set(s)
 
+        def upo(b, s, axis):  # optional leaves (int8-KV scales)
+            return None if b is None else up(b, s, axis)
+
         cache = llama.KVCache(
             k=up(big.cache.k, small.cache.k, 1),
             v=up(big.cache.v, small.cache.v, 1),
-            length=up(big.cache.length, small.cache.length, 0))
+            length=up(big.cache.length, small.cache.length, 0),
+            k_scale=upo(big.cache.k_scale, small.cache.k_scale, 1),
+            v_scale=upo(big.cache.v_scale, small.cache.v_scale, 1))
         return medplib.StreamState(
             cache=cache,
             tok=up(big.tok, small.tok, 0),
@@ -195,6 +222,36 @@ class BatchedEngine:
             rng=up(big.rng, small.rng, 0))
 
     @staticmethod
+    def _pad_time_impl(small: medplib.StreamState,
+                       target: int) -> medplib.StreamState:
+        """Zero-pad a bucketed admission's KV cache up to the shared slot
+        shape's time axis (prompts are left-aligned and decode_attention
+        masks by cache.length, so tail padding is never attended)."""
+        def pad(a):
+            if a is None or a.shape[2] == target:
+                return a
+            return jnp.pad(a, ((0, 0), (0, 0), (0, target - a.shape[2]),
+                               (0, 0), (0, 0)))
+
+        return small._replace(cache=small.cache._replace(
+            k=pad(small.cache.k), v=pad(small.cache.v),
+            k_scale=pad(small.cache.k_scale),
+            v_scale=pad(small.cache.v_scale)))
+
+    def _slot_cache_len(self, batch: medplib.Batch) -> Optional[int]:
+        """Shared KV time size when prompt buckets are on: the spliced
+        length of a max_prompt_len prompt (medplib._out_len at T=max) plus
+        the decode budget."""
+        if self.max_prompt_len is None:
+            return None
+        per = medplib.image_tokens_per_image(self.cfg)
+        if self.cfg.projector.mask_encoder:
+            per = max(per, self.cfg.projector.mask_encoder_tokens)
+        n_img = batch.image_token_lengths.shape[1]
+        return (self.max_prompt_len + n_img * (per - 1) +
+                self.decode_budget)
+
+    @staticmethod
     def _make_empty_impl(small: medplib.StreamState,
                          slots: int) -> medplib.StreamState:
         def z(a, axis):
@@ -202,8 +259,11 @@ class BatchedEngine:
             sh[axis] = slots
             return jnp.zeros(sh, a.dtype)
 
+        zo = lambda a, axis: None if a is None else z(a, axis)  # noqa: E731
         cache = llama.KVCache(k=z(small.cache.k, 1), v=z(small.cache.v, 1),
-                              length=z(small.cache.length, 0))
+                              length=z(small.cache.length, 0),
+                              k_scale=zo(small.cache.k_scale, 1),
+                              v_scale=zo(small.cache.v_scale, 1))
         return medplib.StreamState(
             cache=cache, tok=z(small.tok, 0),
             done=jnp.ones((slots,), bool),  # free slots never generate
@@ -232,10 +292,17 @@ class BatchedEngine:
                temperature: float = 0.0, top_p: float = 1.0,
                seed: Optional[int] = None,
                max_new_tokens: Optional[int] = None) -> Request:
-        """batch must be a B=1 collated Batch with the engine's fixed prompt
-        shape (the collator's max_seq_len contract)."""
+        """batch must be a B=1 collated Batch. With max_prompt_len set, any
+        prompt width <= max_prompt_len is accepted (bucketed admission);
+        otherwise the engine's fixed prompt shape (the collator's
+        max_seq_len contract)."""
         if batch.input_ids.shape[0] != 1:
             raise ValueError("engine requests are single-sample batches")
+        if (self.max_prompt_len is not None
+                and batch.input_ids.shape[1] > self.max_prompt_len):
+            raise ValueError(
+                f"prompt width {batch.input_ids.shape[1]} exceeds the "
+                f"engine's max_prompt_len {self.max_prompt_len}")
         if self._stop.is_set():
             raise RuntimeError("engine shut down")
         r = Request(batch, region, temperature, top_p, seed,
@@ -297,6 +364,10 @@ class BatchedEngine:
         ds = any(r.do_sample for r in group)
         small = self._prefills[(group[0].region, ds)](
             self.params, temps, tops, key, *[r.batch for r in rows])
+        target = self._slot_cache_len(group[0].batch)
+        if target is not None and small.cache.k.shape[2] < target:
+            # bucketed prompt: pad the admission's KV up to the slot shape
+            small = self._pad_time(small, target=target)
         if self._state is None:
             self._state = self._make_empty(small)
         slots = []
@@ -384,14 +455,17 @@ class BatchedEngine:
         # groups together; a SEEDED sampled request prefills solo so its
         # RNG stream stays reproducible regardless of traffic
         groups: List[List[Request]] = []
-        by_region: dict = {}
+        by_key: dict = {}
         for r in incoming:
             if not self.group_admission or (r.do_sample
                                             and r.seed is not None):
                 groups.append([r])
             else:
-                by_region.setdefault(r.region, []).append(r)
-        groups.extend(v for v in by_region.values())
+                # same region flag AND same (bucketed) prompt width concat
+                # into one prefill
+                key = (r.region, r.batch.input_ids.shape[1])
+                by_key.setdefault(key, []).append(r)
+        groups.extend(v for v in by_key.values())
         for g in groups:
             self._try_admit(g)
         active = [i for i, r in enumerate(self._slot_req) if r is not None]
@@ -426,5 +500,5 @@ class BatchedEngine:
             if fresh:
                 r.chunks.put(fresh)
             if bool(done_now[slot]) or r.emitted >= r.max_new_tokens \
-                    or r.steps >= self.decode_budget:
+                    or r.steps >= self.decode_budget or r.cancelled:
                 self._retire(slot)

@@ -191,11 +191,16 @@ def make_handler(controller_url: str, model_name: str,
             r = requests.post(addr + "/worker_generate_stream", json=payload,
                               timeout=600)
             if log_dir:
-                # last complete chunk carries the final text
+                # last complete chunk carries the final text; a crashed
+                # worker can emit a truncated part — logging is best-effort
+                # and must never break proxying
                 final = {}
                 for part in r.content.split(b"\0"):
                     if part.strip():
-                        final = json.loads(part)
+                        try:
+                            final = json.loads(part)
+                        except (ValueError, UnicodeDecodeError):
+                            continue
                 log_conv_event(
                     log_dir, "chat", model_name,
                     {"prompt": payload.get("prompt", ""),

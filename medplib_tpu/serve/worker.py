@@ -54,6 +54,14 @@ class _IncrementalDetok:
         prev = self.tok.decode(self.toks[ws:self.committed],
                                skip_special_tokens=False)
         cur = self.tok.decode(self.toks[ws:upto], skip_special_tokens=False)
+        if not cur.startswith(prev):
+            # a tokenizer whose rendering changed across the commit boundary
+            # beyond the holdback window breaks the prefix assumption; fall
+            # back to a full re-decode (resets the committed anchor)
+            self.committed = 0
+            self.committed_text = ""
+            return self.tok.decode(self.toks[:upto],
+                                   skip_special_tokens=False)
         return cur[len(prev):]
 
     def extend(self, new_toks) -> str:
@@ -61,7 +69,13 @@ class _IncrementalDetok:
         self.toks.extend(int(t) for t in new_toks)
         if len(self.toks) - self.committed > 2 * self.HOLDBACK:
             commit_to = len(self.toks) - self.HOLDBACK
-            self.committed_text += self._tail_text(commit_to)
+            tail = self._tail_text(commit_to)
+            if self.committed == 0 and not self.committed_text:
+                # prefix fallback fired inside _tail_text: `tail` is the
+                # full decode from 0
+                self.committed_text = tail
+            else:
+                self.committed_text += tail
             self.committed = commit_to
         return (self.committed_text + self._tail_text(len(self.toks))
                 ).replace("</s>", "")
@@ -80,7 +94,8 @@ class ModelWorker:
                  max_seq_len: int = 512, max_new_tokens: int = 256,
                  stream_interval: int = 2,
                  conv_template: str = "v1",
-                 batched_slots: int = 0):
+                 batched_slots: int = 0,
+                 kv_quant: bool = False):
         self.cfg, self.params, self.tok = cfg, params, tokenizer
         self.model_name = model_name
         self.controller_url = controller_url
@@ -91,11 +106,22 @@ class ModelWorker:
         self.stream_interval = stream_interval
         self.conv = conv_templates[conv_template]
         from medplib_tpu.models.medplib import image_tokens_per_image
-        self.cc = CollatorConfig(
-            max_seq_len=max_seq_len,
-            image_tokens=image_tokens_per_image(cfg),
-            sam_image_size=cfg.sam.image_size,
-            clip_image_size=cfg.vision.image_size)
+        # prompt-shape buckets: short prompts collate at the smallest bucket
+        # >= their length instead of always paying a max_seq_len prefill
+        # (the reference sizes per request via max_src_len,
+        # model_worker.py:317; static XLA shapes quantize that to buckets).
+        # jit programs are shape-polymorphic, so each bucket costs one extra
+        # compile on first use and nothing after.
+        self.buckets = tuple(sorted(
+            {b for b in (128, 256) if b < max_seq_len} | {max_seq_len}))
+        self._ccs = {
+            t: CollatorConfig(
+                max_seq_len=t,
+                image_tokens=image_tokens_per_image(cfg),
+                sam_image_size=cfg.sam.image_size,
+                clip_image_size=cfg.vision.image_size)
+            for t in self.buckets}
+        self.cc = self._ccs[max_seq_len]
         eos = getattr(tokenizer, "eos_token_id", 2) or 2
         self.max_new_tokens = max_new_tokens
         # KV cache must cover a WHOLE number of decode chunks: the loop
@@ -113,7 +139,8 @@ class ModelWorker:
         def mk_prefill(rp: bool, ds: bool):
             return jax.jit(lambda p, b, t, tp, k: medplib.stream_prefill(
                 p, cfg, b, max_new_tokens=self._decode_budget, rp_flag=rp,
-                do_sample=ds, temperature=t, top_p=tp, rng=k))
+                do_sample=ds, temperature=t, top_p=tp, rng=k,
+                kv_quant=kv_quant))
 
         self._prefills = {(rp, ds): mk_prefill(rp, ds)
                           for rp in (False, True) for ds in (False, True)}
@@ -135,7 +162,7 @@ class ModelWorker:
             self.engine = BatchedEngine(
                 cfg, params, slots=batched_slots,
                 max_new_tokens=max_new_tokens, chunk=stream_interval,
-                eos_id=eos)
+                eos_id=eos, max_prompt_len=max_seq_len, kv_quant=kv_quant)
             self.semaphore = threading.Semaphore(batched_slots * 4)
         if controller_url:
             self.register()
@@ -212,6 +239,24 @@ class ModelWorker:
         finally:
             self.queue_length -= 1
 
+    def _pick_bucket(self, n_tokens: int) -> CollatorConfig:
+        """Smallest collator bucket that fits the prompt."""
+        for t in self.buckets:
+            if n_tokens <= t:
+                return self._ccs[t]
+        return self.cc
+
+    def _stop_token_id(self, stop_str: Optional[str]) -> Optional[int]:
+        """The reference short-circuits on single-token stop strings
+        (model_worker.py:294-299: tokenizer(stop).input_ids of length 1)."""
+        if not stop_str:
+            return None
+        try:
+            ids = self.tok(stop_str).input_ids
+        except Exception:  # noqa: BLE001 - tokenizer-specific surface
+            return None
+        return int(ids[0]) if len(ids) == 1 else None
+
     def _generate_stream_inner(self, payload: dict):
         prompt = payload["prompt"]
         # per-request sampling params, reference defaults
@@ -219,6 +264,15 @@ class ModelWorker:
         temperature = float(payload.get("temperature", 1.0))
         top_p = float(payload.get("top_p", 1.0))
         do_sample = temperature >= 1e-4
+        # per-request token budget, clamped to the worker's compiled budget
+        # (reference: min(params["max_new_tokens"], 1024),
+        # model_worker.py:291)
+        mnt = min(int(payload.get("max_new_tokens", self.max_new_tokens)),
+                  self.max_new_tokens)
+        # stop string (model_worker.py:292-299, 443): single-token stops end
+        # decode exactly; any stop truncates emitted text at rfind(stop)
+        stop_str = payload.get("stop") or None
+        stop_id = self._stop_token_id(stop_str)
         image = protocol.decode_image_b64(payload["images"][0])
         region = None
         if payload.get("region_masks"):
@@ -226,7 +280,15 @@ class ModelWorker:
                 payload["region_masks"][0],
                 *payload.get("region_hw", image.shape[:2]))
         sample = self.build_sample(prompt, image, region)
-        arrays, meta = collate([sample], self.cc)
+        # context-length clamp (model_worker.py:317): keep the prompt TAIL so
+        # prompt + answer fits the model's positional budget
+        max_src_len = min(self.cc.max_seq_len,
+                          self.cfg.llm.max_position_embeddings - mnt - 8)
+        if len(sample["input_ids"]) > max_src_len:
+            sample["input_ids"] = sample["input_ids"][-max_src_len:]
+            sample["labels"] = sample["labels"][-max_src_len:]
+        cc = self._pick_bucket(len(sample["input_ids"]))
+        arrays, meta = collate([sample], cc)
         batch = to_model_batch(arrays)
         seed = payload.get("seed")
 
@@ -238,15 +300,38 @@ class ModelWorker:
                                "error_code": protocol.ERROR_CODE_OK}
                               ).encode() + protocol.STREAM_DELIMITER
 
+        stopped_text: Optional[str] = None
+
+        def apply_stop(text: str):
+            """-> (text, hit). rfind truncation per the reference's
+            stream-interval scan (model_worker.py:441-444)."""
+            if stop_str:
+                pos = text.rfind(stop_str)
+                if pos != -1:
+                    return text[:pos], True
+            return text, False
+
         if self.engine is not None:
             # continuous batching: the engine coalesces this request with
             # every other in-flight one into a single decode batch
             req = self.engine.submit(
                 batch, region=region is not None,
                 temperature=temperature if do_sample else 0.0, top_p=top_p,
-                seed=seed, max_new_tokens=self.max_new_tokens)
+                seed=seed, max_new_tokens=mnt)
             for chunk_toks in req:
-                yield text_chunk(detok.extend(chunk_toks))
+                if stopped_text is not None:
+                    continue  # drain remaining chunks (cancel is async)
+                if stop_id is not None and stop_id in chunk_toks:
+                    chunk_toks = chunk_toks[:chunk_toks.index(stop_id)]
+                    stopped_text, _ = apply_stop(detok.extend(chunk_toks))
+                    req.cancel()
+                    yield text_chunk(stopped_text)
+                    continue
+                text, hit = apply_stop(detok.extend(chunk_toks))
+                if hit:
+                    stopped_text = text
+                    req.cancel()
+                yield text_chunk(text)
             grounded = req.ground()
             masks0 = (np.asarray(grounded[0])[0, 0]
                       if grounded is not None else None)
@@ -256,7 +341,7 @@ class ModelWorker:
             state = self._prefills[(region is not None, do_sample)](
                 self.params, batch, temperature, top_p, key)
             steps = 0
-            while steps < self.max_new_tokens:
+            while steps < mnt:
                 if do_sample:
                     state, chunk_toks, chunk_done = self._chunk_sample(
                         self.params, state, temperature, top_p)
@@ -267,9 +352,19 @@ class ModelWorker:
                 fresh = [int(t) for t, was_done
                          in zip(np.asarray(chunk_toks)[0], done_np)
                          if not was_done and int(t) > 0][
-                             : self.max_new_tokens - len(detok.toks)]
+                             : mnt - len(detok.toks)]
                 steps += chunk_toks.shape[1]
-                yield text_chunk(detok.extend(fresh))
+                if stop_id is not None and stop_id in fresh:
+                    fresh = fresh[:fresh.index(stop_id)]
+                    stopped_text, _ = apply_stop(detok.extend(fresh))
+                    yield text_chunk(stopped_text)
+                    break
+                text, hit = apply_stop(detok.extend(fresh))
+                if hit:
+                    stopped_text = text
+                    yield text_chunk(text)
+                    break
+                yield text_chunk(text)
                 if bool(done_np[-1]) or bool(np.asarray(state.done)[0]):
                     break
             masks0 = None
@@ -279,6 +374,10 @@ class ModelWorker:
                 masks0 = np.asarray(masks)[0, 0]
 
         text = detok.final()
+        if stopped_text is not None:
+            text = stopped_text.strip()
+        else:
+            text, _ = apply_stop(text)
         encoded_mask, h, w = [], 0, 0
         if masks0 is not None:
             pred = pp.unpad_and_resize_mask(

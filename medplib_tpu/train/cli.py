@@ -36,6 +36,9 @@ def build_argparser():
     ap.add_argument("--eval-capacity-factor", type=float, default=2.0)
     ap.add_argument("--min-capacity", type=int, default=0)
     ap.add_argument("--moe-mode", default="dense")
+    ap.add_argument("--moe-layers-idx", default=None,
+                    help="comma-separated custom MoE layer indices "
+                         "(reference --moe_layers_idx; overrides --moe-mode)")
     ap.add_argument("--use-residual", action="store_true",
                     help="Residual-MoE: dense MLP in parallel with experts, "
                          "learned 2-way mix (deepspeed use_residual, "
@@ -70,8 +73,14 @@ def build_argparser():
     ap.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
     ap.add_argument("--lora-r", type=int, default=8)
     ap.add_argument("--lora-alpha", type=int, default=16)
+    ap.add_argument("--lora-dropout", type=float, default=0.05,
+                    help="dropout on the LoRA adapter input during training "
+                         "(peft lora_dropout, train_ds_medplib.py:279-285)")
     ap.add_argument("--lora-target-modules", default="q_proj,v_proj")
     ap.add_argument("--no-lora", action="store_true")
+    ap.add_argument("--no-train-mask-decoder", action="store_true",
+                    help="freeze the SAM mask decoder (inverse of the "
+                         "reference's --train_mask_decoder)")
     ap.add_argument("--save-steps", type=int, default=500)
     ap.add_argument("--log-steps", type=int, default=10)
     ap.add_argument("--exp-name", default="medplib-tpu")
@@ -127,6 +136,8 @@ def main(argv=None):
         top_k=args.top_k_experts, capacity_factor=args.capacity_factor,
         eval_capacity_factor=args.eval_capacity_factor,
         min_capacity=args.min_capacity, moe_mode=args.moe_mode,
+        moe_layers_idx=(tuple(int(i) for i in args.moe_layers_idx.split(","))
+                        if args.moe_layers_idx else None),
         use_residual=args.use_residual,
         router_aux_loss_coef=args.router_aux_loss_coef)
     seg_cfg = SegConfig(
@@ -134,7 +145,8 @@ def main(argv=None):
         bce_loss_weight=args.bce_loss_weight,
         dice_loss_weight=args.dice_loss_weight,
         focal_loss_weight=args.focal_loss_weight,
-        iou_loss_weight=args.iou_loss_weight)
+        iou_loss_weight=args.iou_loss_weight,
+        train_mask_decoder=not args.no_train_mask_decoder)
     if args.tiny:
         from medplib_tpu.config import tiny_cli_config
         cfg = tiny_cli_config(moe_cfg, seg_idx, len(tokenizer),
@@ -169,7 +181,7 @@ def main(argv=None):
             grad_accumulation_steps=args.grad_accumulation_steps,
             epochs=args.epochs, steps_per_epoch=args.steps_per_epoch,
             lora_enable=not args.no_lora, lora_r=args.lora_r,
-            lora_alpha=args.lora_alpha,
+            lora_alpha=args.lora_alpha, lora_dropout=args.lora_dropout,
             save_steps=args.save_steps, log_steps=args.log_steps,
             max_seq_len=args.model_max_length)
 

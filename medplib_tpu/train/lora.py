@@ -14,6 +14,8 @@ reference's `merge_and_unload` + HF save flow
 
 from __future__ import annotations
 
+import contextlib
+import threading
 from typing import Any, Callable, Dict, List, Sequence, Tuple
 
 import jax
@@ -21,6 +23,46 @@ import jax.numpy as jnp
 import numpy as np
 
 Params = Dict[str, Any]
+
+# ---------------------------------------------------------------------------
+# LoRA dropout (train_ds_medplib.py:279-285 passes lora_dropout to peft;
+# peft applies nn.Dropout to the adapter INPUT during training only:
+# y = W x + B A dropout(x) * scale). Activated by the trainer via the
+# trace-time context below — inference/eval paths never enter it, so their
+# compiled programs contain no dropout ops.
+# ---------------------------------------------------------------------------
+
+_LORA_DROPOUT = threading.local()
+
+
+@contextlib.contextmanager
+def lora_dropout_ctx(rng: jnp.ndarray, rate: float):
+    """Enable dropout on the LoRA path while TRACING under this context.
+
+    `rng` may be a traced key (e.g. folded from the step counter inside a
+    jitted train step). Each lora-linear CALL SITE gets a distinct key via a
+    trace-time counter; layers stacked under one `lax.scan` share a call
+    site and therefore a mask — a deliberate TPU-first trade (per-layer
+    keys would have to ride the scan carry) that keeps the regularizer
+    honest in expectation."""
+    prev = getattr(_LORA_DROPOUT, "state", None)
+    _LORA_DROPOUT.state = {"rng": rng, "rate": float(rate), "n": 0}
+    try:
+        yield
+    finally:
+        _LORA_DROPOUT.state = prev
+
+
+def _lora_input(x: jnp.ndarray) -> jnp.ndarray:
+    """Dropout on the adapter input when tracing under lora_dropout_ctx."""
+    st = getattr(_LORA_DROPOUT, "state", None)
+    if not st or st["rate"] <= 0.0:
+        return x
+    st["n"] += 1
+    key = jax.random.fold_in(st["rng"], st["n"])
+    keep = 1.0 - st["rate"]
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0).astype(x.dtype)
 
 
 def _iter_linear_paths(tree: Params, prefix=()):
@@ -49,12 +91,22 @@ def inject(key, params: Params, target_modules: Sequence[str], r: int,
             continue
         kern = node["kernel"]
         *lead, din, dout = kern.shape
-        if path[-1] in TRANSPOSED_KERNELS:
+        transposed = path[-1] in TRANSPOSED_KERNELS
+        # QLoRA: kernels may already be quantized — adapters stay float,
+        # and int4 nibble-packed kernels store HALF the reduction rows
+        if "scale4" in node or "scale4h" in node:
+            if transposed:
+                dout *= 2   # [out, in/2] packed
+            else:
+                din *= 2    # [in/2, out] packed
+        if transposed:
             din, dout = dout, din
+        adtype = (kern.dtype if jnp.issubdtype(kern.dtype, jnp.floating)
+                  else jnp.bfloat16)
         key, k1 = jax.random.split(key)
         node["lora_a"] = (jax.random.normal(k1, tuple(lead) + (din, r))
-                          * (1.0 / r)).astype(kern.dtype)
-        node["lora_b"] = jnp.zeros(tuple(lead) + (r, dout), kern.dtype)
+                          * (1.0 / r)).astype(adtype)
+        node["lora_b"] = jnp.zeros(tuple(lead) + (r, dout), adtype)
         n += 1
     if n == 0:
         raise ValueError(f"no modules matched {target_modules}")
@@ -69,8 +121,14 @@ def dequant_kernel(p: Params, dtype) -> jnp.ndarray:
     int8 nodes: {kernel int8, scale f32 per-out-channel}.
     int4 nodes: {kernel nibble-packed int8, scale4 f32 blockwise} as
     written by utils/quantize._quantize_kernel4; the position of scale4's
-    size-1 axis says whether the kernel is [in, out] or transposed."""
+    size-1 axis says whether the kernel is [in, out] or transposed.
+    int4 "half" nodes ({kernel, scale4h}) materialize via dequant_int4h —
+    but matmul callers (linear/linear_t/moe_mlp) route them through the
+    fused grouped dots instead, which is the whole point of the layout."""
     kern = p["kernel"]
+    if "scale4h" in p:
+        from medplib_tpu.utils.quantize import dequant_int4h
+        return dequant_int4h(kern, p["scale4h"], dtype)
     if "scale4" in p:
         s = p["scale4"]
         transposed = s.shape[-1] == 1  # else [.., nb, 1, out]
@@ -135,10 +193,14 @@ def linear(p: Params, x: jnp.ndarray, scale: float = 2.0) -> jnp.ndarray:
     if _use_w8a8(p, x):
         from medplib_tpu.utils.quantize import int8_dyn_matmul
         y = int8_dyn_matmul(x, p["kernel"], p["scale"], transposed=False)
+    elif "scale4h" in p and p["kernel"].ndim == 2:
+        from medplib_tpu.utils.quantize import int4h_matmul
+        y = int4h_matmul(x, p["kernel"], p["scale4h"])
     else:
         y = x @ dequant_kernel(p, x.dtype)
     if "lora_a" in p:
-        y = y + ((x @ p["lora_a"]) @ p["lora_b"]) * scale
+        xd = _lora_input(x)
+        y = y + ((xd @ p["lora_a"]) @ p["lora_b"]) * scale
     if "bias" in p:
         y = y + p["bias"]
     return y
@@ -151,10 +213,14 @@ def linear_t(p: Params, x: jnp.ndarray, scale: float = 2.0) -> jnp.ndarray:
     if _use_w8a8(p, x):
         from medplib_tpu.utils.quantize import int8_dyn_matmul
         y = int8_dyn_matmul(x, p["kernel"], p["scale"], transposed=True)
+    elif "scale4h" in p and p["kernel"].ndim == 2:
+        from medplib_tpu.utils.quantize import int4h_matmul_t
+        y = int4h_matmul_t(x, p["kernel"], p["scale4h"])
     else:
         y = jnp.einsum("...i,oi->...o", x, dequant_kernel(p, x.dtype))
     if "lora_a" in p:
-        y = y + ((x @ p["lora_a"]) @ p["lora_b"]) * scale
+        xd = _lora_input(x)
+        y = y + ((xd @ p["lora_a"]) @ p["lora_b"]) * scale
     if "bias" in p:
         y = y + p["bias"]
     return y
@@ -170,6 +236,11 @@ def merge(params: Params, scale: float = 2.0) -> Params:
         if isinstance(node, dict):
             out = {}
             if "kernel" in node and "lora_a" in node:
+                if any(s in node for s in ("scale", "scale4", "scale4h")):
+                    raise ValueError(
+                        "cannot merge LoRA into a QUANTIZED kernel "
+                        f"({name}): dequantize first (QLoRA export path: "
+                        "keep adapters separate or merge pre-quantization)")
                 delta = jnp.einsum("...ir,...ro->...io", node["lora_a"],
                                    node["lora_b"]) * scale
                 if name in TRANSPOSED_KERNELS:
@@ -190,13 +261,22 @@ def merge(params: Params, scale: float = 2.0) -> Params:
 def trainable_mask(params: Params, sft_modules: Sequence[str]) -> Params:
     """Boolean pytree: True for LoRA leaves and any leaf under an sft module
     (train_ds_medplib.py:316-326 keeps text_hidden_fcs/mask_decoder/lm_head/
-    embed_tokens/region_fea_adapter fully trainable alongside LoRA)."""
-    def rec(node, path):
+    embed_tokens/region_fea_adapter fully trainable alongside LoRA).
+
+    QUANTIZED nodes (holding scale/scale4/scale4h) are always frozen except
+    their LoRA adapters — an int8/int4 kernel is not differentiable and the
+    QLoRA recipe trains only the bf16 adapters beside it (an sft module
+    that was quantized, e.g. lm_head under the serving config, therefore
+    freezes; quantize before LoRA injection for stage-3-style training)."""
+    def rec(node, path, in_quant):
         if isinstance(node, dict):
-            return {k: rec(v, path + (k,)) for k, v in node.items()}
+            q = in_quant or any(s in node
+                                for s in ("scale", "scale4", "scale4h"))
+            return {k: rec(v, path + (k,), q) for k, v in node.items()}
         if isinstance(node, list):
-            return [rec(v, path + (str(i),)) for i, v in enumerate(node)]
+            return [rec(v, path + (str(i),), in_quant)
+                    for i, v in enumerate(node)]
         is_lora = path and path[-1] in ("lora_a", "lora_b")
         in_sft = any(m in path for m in sft_modules)
-        return bool(is_lora or in_sft)
-    return rec(params, ())
+        return bool(is_lora or (in_sft and not in_quant))
+    return rec(params, (), False)

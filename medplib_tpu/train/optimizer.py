@@ -37,8 +37,11 @@ def make_optimizer(cfg: TrainConfig, trainable_mask: Any = None):
             weight_decay=cfg.weight_decay),
     )
     if trainable_mask is not None:
-        tx = optax.multi_transform(
-            {"train": tx, "freeze": optax.set_to_zero()},
-            jax.tree_util.tree_map(
-                lambda t: "train" if t else "freeze", trainable_mask))
+        # optax.masked (not multi_transform): masked-out leaves get NO
+        # optimizer state at all — for the QLoRA config (frozen int8 7B
+        # base + bf16 LoRA, train/trainer.py) multi_transform would still
+        # allocate adam moments for the whole frozen tree. The train step
+        # feeds scalar-zero placeholder grads at frozen positions, which
+        # masked passes through unchanged and apply_updates adds as 0.
+        tx = optax.masked(tx, trainable_mask)
     return tx

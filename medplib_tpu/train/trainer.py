@@ -52,40 +52,83 @@ def make_train_step(cfg: MedplibConfig, tcfg: TrainConfig, tx,
     batches: a pytree of arrays with leading [GA, ...] microbatch axis.
     """
     ga = tcfg.grad_accumulation_steps
+    # LoRA dropout (wired from TrainConfig.lora_dropout — the reference
+    # passes it to peft, train_ds_medplib.py:279-285); keys fold in the
+    # global step and the microbatch index so every update samples fresh
+    # masks, yet the whole schedule is deterministic from tcfg.seed
+    drop_rate = tcfg.lora_dropout if tcfg.lora_enable else 0.0
+    base_key = jax.random.PRNGKey(tcfg.seed ^ 0x10A4)
 
-    def loss_fn(params, batch):
-        out = medplib.model_forward(params, cfg, batch, train=True,
-                                    seg_flag=seg_flag, rp_flag=rp_flag,
-                                    remat=True, ep_shard=ep_shard)
+    def loss_fn(params, batch, drop_rng):
+        with lora_lib.lora_dropout_ctx(drop_rng, drop_rate):
+            out = medplib.model_forward(params, cfg, batch, train=True,
+                                        seg_flag=seg_flag, rp_flag=rp_flag,
+                                        remat=True, ep_shard=ep_shard)
         metrics = {k: v for k, v in out.items() if v.ndim == 0}
         return out["loss"], metrics
 
-    grad_fn = jax.grad(loss_fn, has_aux=True)
-
     def train_step(state: TrainState, batches):
-        def micro(carry, mb):
+        step_key = jax.random.fold_in(base_key, state.step)
+
+        # Differentiate w.r.t. the TRAINABLE leaves only (same mask as the
+        # optimizer, create_state). This is what makes the QLoRA config
+        # work — a frozen int8-quantized base has integer leaves jax.grad
+        # refuses to differentiate — and it keeps the grad accumulator at
+        # trainable-size instead of full-model f32.
+        leaves, treedef = jax.tree_util.tree_flatten(state.params)
+        if tcfg.lora_enable:
+            mask_tree = lora_lib.trainable_mask(state.params,
+                                                tcfg.sft_modules)
+            m_lv = jax.tree_util.tree_leaves(mask_tree)
+        else:
+            m_lv = [True] * len(leaves)
+        train_lv = [l for l, m in zip(leaves, m_lv) if m]
+
+        def loss_from_train(tlv, batch, rng):
+            it = iter(tlv)
+            full = treedef.unflatten(
+                [next(it) if m else l for l, m in zip(leaves, m_lv)])
+            return loss_fn(full, batch, rng)
+
+        grad_fn = jax.grad(loss_from_train, has_aux=True)
+
+        def micro(carry, mb_and_idx):
+            mb, idx = mb_and_idx
             grads_acc, metrics_acc = carry
-            grads, metrics = grad_fn(state.params, mb)
-            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            grads, metrics = grad_fn(train_lv, mb,
+                                     jax.random.fold_in(step_key, idx))
+            grads_acc = [jnp.add(a, g) for a, g in zip(grads_acc, grads)]
             metrics_acc = jax.tree_util.tree_map(jnp.add, metrics_acc,
                                                  metrics)
             return (grads_acc, metrics_acc), None
 
-        zeros = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+        zeros = [jnp.zeros(p.shape, jnp.float32) for p in train_lv]
         batch0 = jax.tree_util.tree_map(lambda x: x[0], batches)
-        m0 = jax.eval_shape(lambda p, b: loss_fn(p, b)[1],
-                            state.params, batch0)
+        m0 = jax.eval_shape(lambda t, b: loss_from_train(t, b, step_key)[1],
+                            train_lv, batch0)
         metric_zeros = jax.tree_util.tree_map(
             lambda _: jnp.zeros((), jnp.float32), m0)
-        (grads, metrics), _ = jax.lax.scan(
-            micro, (zeros, metric_zeros), batches)
-        grads = jax.tree_util.tree_map(lambda g: g / ga, grads)
+        (grads_lv, metrics), _ = jax.lax.scan(
+            micro, (zeros, metric_zeros),
+            (batches, jnp.arange(ga, dtype=jnp.uint32)))
+        grads_lv = [g / ga for g in grads_lv]
         metrics = jax.tree_util.tree_map(lambda m: m / ga, metrics)
 
+        # full-tree grads for optax: scalar-zero placeholders at frozen
+        # positions (optax.masked ignores them; apply_updates adds 0)
+        it = iter(grads_lv)
+        grads = treedef.unflatten(
+            [next(it) if m else jnp.zeros((), jnp.float32)
+             for m in m_lv])
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        # apply updates ONLY at trainable leaves: frozen leaves pass through
+        # untouched (donation aliases them in place — no copy of e.g. a
+        # frozen int8 7B base per step)
+        u_lv = jax.tree_util.tree_leaves(updates)
+        params = treedef.unflatten(
+            [(p + u).astype(p.dtype) if m else p
+             for p, u, m in zip(leaves, u_lv, m_lv)])
+        metrics["grad_norm"] = optax.global_norm(grads_lv)
         return TrainState(params=params, opt_state=opt_state,
                           step=state.step + 1), metrics
 
@@ -98,6 +141,13 @@ class Trainer:
     def __init__(self, cfg: MedplibConfig, tcfg: TrainConfig, params,
                  log_dir: str, ep_shard: bool = False, seg_flag: bool = True,
                  rp_flag: bool = False):
+        if not cfg.seg.train_mask_decoder:
+            # SegConfig.train_mask_decoder gates the mask decoder's
+            # trainability (the reference flips requires_grad on
+            # model.model.mask_decoder, MedPLIB.py:141-164 via config)
+            import dataclasses as _dc
+            tcfg = _dc.replace(tcfg, sft_modules=tuple(
+                m for m in tcfg.sft_modules if m != "mask_decoder"))
         self.cfg, self.tcfg = cfg, tcfg
         self.state, self.tx = create_state(params, tcfg)
         self.step_fn = jax.jit(make_train_step(cfg, tcfg, self.tx, ep_shard,
@@ -146,9 +196,14 @@ class Trainer:
             progress = ProgressMeter(
                 spe, list(meters.values()) + [batch_time],
                 prefix=f"epoch {epoch}: ")
+            # fault budget is PER EPOCH, not per step: a batch that
+            # deterministically fails mid-stream re-opens the iterator each
+            # step and would otherwise replay the stream head forever with
+            # only printed warnings
+            faults = 0
             for local_step in range(skip, spe):
                 t0 = time.time()
-                batches, faults = None, 0
+                batches = None
                 while batches is None:
                     try:
                         batches = next(it)
@@ -158,12 +213,12 @@ class Trainer:
                         # tolerate data-loader faults by re-opening the
                         # iterator (the reference swallows loader errors the
                         # same way, train_ds_medplib.py:580-584) — bounded,
-                        # so a deterministically-failing first batch aborts
+                        # so a deterministically-failing batch aborts
                         # instead of spinning forever
                         faults += 1
                         if faults > 3:
                             raise RuntimeError(
-                                "data loader failed 3 times in a row; "
+                                "data loader failed 4 times this epoch; "
                                 "aborting instead of looping") from e
                         print(f"data loader error, re-iterating: {e}",
                               flush=True)

@@ -58,9 +58,12 @@ def llama_to_hf(params: Mapping[str, Any], cfg: LlamaConfig,
             sd[p + f"self_attn.{n}.weight"] = _np(attn[n]["kernel"])[i]
         sd[p + "self_attn.o_proj.weight"] = _np(
             attn["o_proj"]["kernel"])[i].T
-        for n in ("gate_proj", "up_proj", "down_proj"):
-            sd[p + f"mlp.{n}.weight"] = _np(
-                layers["mlp"][n]["kernel"])[i].T
+        if "mlp" in layers:
+            # absent when every layer is MoE and the dead dense stack was
+            # stripped (models/moe_llama.strip_dense_mlp)
+            for n in ("gate_proj", "up_proj", "down_proj"):
+                sd[p + f"mlp.{n}.weight"] = _np(
+                    layers["mlp"][n]["kernel"])[i].T
     return sd
 
 
@@ -88,7 +91,7 @@ def moe_llama_to_hf(params: Mapping[str, Any], cfg: LlamaConfig,
     for i in sorted(moe_set):
         p = f"{prefix}layers.{i}.mlp."
         for n in ("gate_proj", "up_proj", "down_proj"):
-            del sd[p + f"{n}.weight"]
+            sd.pop(p + f"{n}.weight", None)  # absent on stripped trees
         sd[p + "deepspeed_moe.gate.wg.weight"] = routers[i].T
         for n in ("gate_proj", "up_proj", "down_proj"):
             for e in range(num_experts):

@@ -108,18 +108,72 @@ def _quantize_kernel4(kernel: jnp.ndarray, transposed: bool, block: int):
     return _map_leading(one, kernel)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(0,))
+def _quantize_kernel4h(kernel: jnp.ndarray, transposed: bool, groups: int):
+    """int4 'deinterleaved halves' packing (the FAST int4 layout).
+
+    Logical reduction rows [0, K/2) go to the LOW nibble of packed row r;
+    rows [K/2, K) to the HIGH nibble of packed row r - K/2 — so unpacking
+    either half is a pure elementwise shift on the packed array, which XLA
+    fuses straight into the matmul operand read (the interleaved `scale4`
+    layout's stack+reshape unpack cannot fuse and materializes a bf16 copy
+    of the kernel — measured 5.2 vs 12.6 masks/s at 7B, round 2).
+
+    Scales are blockwise along the reduction axis with `groups` contiguous
+    groups (groups must be even so group boundaries align with the nibble
+    halves): normal [.., K, N] kernels -> packed [.., K/2, N] +
+    scale4h [.., G, 1, N]; transposed [.., N, K] -> packed [.., N, K/2] +
+    scale4h [.., G, N, 1] (the dequant distinguishes layouts by which
+    trailing axis is 1, like scale4)."""
+    assert groups % 2 == 0, "groups must be even (nibble halves)"
+
+    def one(k2):
+        w = k2.astype(jnp.float32)
+        if transposed:
+            O, I = w.shape
+            G = groups if I % groups == 0 else 2
+            wb = w.reshape(O, G, I // G)
+            scale = jnp.max(jnp.abs(wb), axis=-1, keepdims=True) / 7.0
+            q = jnp.clip(jnp.round(wb / jnp.maximum(scale, 1e-12)), -8, 7
+                         ).astype(jnp.int8).reshape(O, I)
+            lo, hi = q[:, : I // 2], q[:, I // 2:]
+            scale = jnp.transpose(scale, (1, 0, 2))  # [O, G, 1] -> [G, O, 1]
+        else:
+            I, O = w.shape
+            G = groups if I % groups == 0 else 2
+            wb = w.reshape(G, I // G, O)
+            scale = jnp.max(jnp.abs(wb), axis=-2, keepdims=True) / 7.0
+            q = jnp.clip(jnp.round(wb / jnp.maximum(scale, 1e-12)), -8, 7
+                         ).astype(jnp.int8).reshape(I, O)
+            lo, hi = q[: I // 2], q[I // 2:]
+            scale = scale.reshape(G, 1, O)
+        packed = jnp.bitwise_or(jnp.bitwise_and(lo, jnp.int8(15)),
+                                jnp.left_shift(hi, 4))
+        return packed, scale.astype(jnp.float32)
+
+    return _map_leading(one, kernel)
+
+
 def quantize_tree(params: Any, skip: Sequence[str] = SKIP_MODULES,
-                  bits: int = 8, block: int = 64) -> Any:
+                  bits: int = 8, block: int = 64,
+                  int4_scheme: str = "half") -> Any:
     """Replace eligible linear kernels with quantized pairs: bits=8 ->
-    {"kernel": int8, "scale": f32}, bits=4 -> {"kernel": packed int8,
-    "scale4": f32 blockwise}. LoRA adapters and biases stay full
-    precision. `block` is the int4 reduction-axis block size (bnb NF4
-    uses 64)."""
+    {"kernel": int8, "scale": f32}, bits=4 -> the matmul-fusible
+    deinterleaved-halves layout {"kernel": packed int8, "scale4h": f32
+    groupwise} (int4_scheme="half", the default — decode runs at int8
+    speed with half the HBM), or the bnb-NF4-like small-block layout
+    {"kernel": packed int8, "scale4": f32 blockwise} (int4_scheme="block";
+    finer `block`-element scales but the unpack defeats operand fusion —
+    capacity only). LoRA adapters and biases stay full precision."""
     if bits not in (4, 8):
         raise ValueError(f"bits must be 4 or 8, got {bits}")
+    if int4_scheme not in ("half", "block"):
+        raise ValueError(f"unknown int4_scheme {int4_scheme!r}")
 
     def rec(node, path):
         if isinstance(node, dict):
+            if any(s in node for s in ("scale", "scale4", "scale4h")):
+                return node  # already quantized (mixed-precision passes)
             if "kernel" in node and not any(s in path for s in skip):
                 k = node["kernel"]
                 if hasattr(k, "ndim") and k.ndim >= 2 and k.size >= 1 << 12:
@@ -128,7 +182,15 @@ def quantize_tree(params: Any, skip: Sequence[str] = SKIP_MODULES,
                     # drop the tree's reference BEFORE quantizing so the
                     # donated buffer is actually freeable
                     node["kernel"] = None
-                    if bits == 4:
+                    if bits == 4 and int4_scheme == "half":
+                        # default 8 groups: K/8-element scale blocks (512
+                        # for the 4096 attn kernels) — the accuracy knob
+                        # that keeps the unpack matmul-fusible
+                        q, scale = _quantize_kernel4h(jnp.asarray(k),
+                                                      transposed, 8)
+                        node["kernel"] = q
+                        node["scale4h"] = scale
+                    elif bits == 4:
                         q, scale = _quantize_kernel4(jnp.asarray(k),
                                                      transposed, block)
                         node["kernel"] = q
@@ -140,7 +202,8 @@ def quantize_tree(params: Any, skip: Sequence[str] = SKIP_MODULES,
                         node["scale"] = scale
                     del k
                     for kk, vv in node.items():
-                        if kk not in ("kernel", "scale", "scale4"):
+                        if kk not in ("kernel", "scale", "scale4",
+                                      "scale4h"):
                             node[kk] = rec(vv, path + (kk,))
                     return node
             for k2, v in node.items():
@@ -161,6 +224,138 @@ def dequantize_matmul(x: jnp.ndarray, p: Dict, transposed: bool):
     if transposed:  # [.., out, in] kernels, scale [.., out, 1]
         return jnp.einsum("...i,oi->...o", x, w * scale)
     return x @ (w * scale)
+
+
+def dequantize_tree(params: Any, dtype=jnp.bfloat16) -> Any:
+    """Inverse of quantize_tree: materialize every quantized kernel back to
+    `dtype` and drop the scale leaves — so a quantized serving checkpoint
+    can round-trip through the HF export (utils/hf_export.medplib_to_hf
+    expects float kernels with the original shapes). Mutates the tree."""
+    from medplib_tpu.train.lora import dequant_kernel
+
+    def rec(node):
+        if isinstance(node, dict):
+            if any(s in node for s in ("scale", "scale4", "scale4h")):
+                node["kernel"] = dequant_kernel(node, dtype)
+                for s in ("scale", "scale4", "scale4h"):
+                    node.pop(s, None)
+            for v in node.values():
+                rec(v)
+        elif isinstance(node, list):
+            for v in node:
+                rec(v)
+
+    rec(params)
+    return params
+
+
+def quantize_flagship_moe(params: Any, expert_bits: int = 4,
+                          attn_bits: int = 8) -> Any:
+    """Mixed-precision quantization for the full-depth MoE flagship
+    (MedPLIB-7b-2e, 32L x 2 experts ~= 13B params): the expert stacks —
+    2/3 of the weights — go int4 (deinterleaved-halves fast layout), the
+    attention/dense path int8. ~7 GB total on-chip for the LLM, which is
+    what fits the 16 GB v5e alongside KV cache + towers at a useful batch.
+    Routers/norms/embeddings stay full precision (SKIP_MODULES)."""
+    moe = params["llm"]["layers"].get("moe")
+    if moe is not None and expert_bits != attn_bits:
+        moe["experts"] = quantize_tree(moe["experts"], skip=(),
+                                       bits=expert_bits)
+    return quantize_tree(params, bits=attn_bits)
+
+
+# ---------------------------------------------------------------------------
+# int4 deinterleaved-halves matmuls (fusible dequant)
+# ---------------------------------------------------------------------------
+# One grouped dot per scale group: slice the packed array (contiguous rows),
+# shift-unpack the nibble (pure elementwise -> fuses into the dot operand
+# read), dot in the activation dtype, scale the OUTPUT by the group's
+# per-channel scale. HBM sees only packed int4 bytes — per full kernel the
+# traffic is 2 x 0.5 = 1 byte/weight (each half read by its groups once),
+# i.e. int8-equal decode speed at half the capacity, vs the interleaved
+# layout's materialized bf16 copy (4.5 bytes/weight).
+
+
+def _int4h_group_slices(packed: jnp.ndarray, n_groups: int, axis: int):
+    """Yield (slice, is_low_nibble) pairs covering the logical K rows in
+    group order. Groups never straddle the nibble halves (G is even)."""
+    k2 = packed.shape[axis]
+    gs = 2 * k2 // n_groups  # logical rows per group
+    for g in range(n_groups):
+        r0 = g * gs
+        low = r0 < k2
+        c0 = r0 if low else r0 - k2
+        yield jax.lax.slice_in_dim(packed, c0, c0 + gs, axis=axis), low
+
+
+def _unpack(p: jnp.ndarray, low: bool, dtype) -> jnp.ndarray:
+    if low:  # arithmetic shifts sign-extend
+        return jnp.right_shift(jnp.left_shift(p, 4), 4).astype(dtype)
+    return jnp.right_shift(p, 4).astype(dtype)
+
+
+def int4h_matmul(x: jnp.ndarray, packed: jnp.ndarray,
+                 scale: jnp.ndarray) -> jnp.ndarray:
+    """x [..., K] @ dequant(packed [K/2, N], scale4h [G, 1, N])."""
+    g_n = scale.shape[-3]
+    gs = 2 * packed.shape[-2] // g_n
+    y = None
+    for g, (pg, low) in enumerate(_int4h_group_slices(packed, g_n, 0)):
+        xg = jax.lax.slice_in_dim(x, g * gs, (g + 1) * gs, axis=-1)
+        yg = xg @ _unpack(pg, low, x.dtype)
+        yg = yg * scale[g, 0].astype(x.dtype)
+        y = yg if y is None else y + yg
+    return y
+
+
+def int4h_matmul_t(x: jnp.ndarray, packed: jnp.ndarray,
+                   scale: jnp.ndarray) -> jnp.ndarray:
+    """x [..., K] @ dequant(packed [N, K/2], scale4h [G, N, 1]).T."""
+    g_n = scale.shape[-3]
+    gs = 2 * packed.shape[-1] // g_n
+    y = None
+    for g, (pg, low) in enumerate(_int4h_group_slices(packed, g_n, 1)):
+        xg = jax.lax.slice_in_dim(x, g * gs, (g + 1) * gs, axis=-1)
+        yg = jnp.einsum("...i,oi->...o", xg, _unpack(pg, low, x.dtype))
+        yg = yg * scale[g, :, 0].astype(x.dtype)
+        y = yg if y is None else y + yg
+    return y
+
+
+def int4h_expert_einsum(x: jnp.ndarray, packed: jnp.ndarray,
+                        scale: jnp.ndarray) -> jnp.ndarray:
+    """MoE expert contraction: einsum('ech,ehm->ecm') over int4h experts.
+    x [E, C, K]; packed [E, K/2, M]; scale4h [E, G, 1, M]."""
+    g_n = scale.shape[-3]
+    gs = 2 * packed.shape[-2] // g_n
+    y = None
+    for g, (pg, low) in enumerate(_int4h_group_slices(packed, g_n, 1)):
+        xg = jax.lax.slice_in_dim(x, g * gs, (g + 1) * gs, axis=-1)
+        yg = jnp.einsum("ecg,egm->ecm", xg, _unpack(pg, low, x.dtype))
+        yg = yg * scale[:, g].astype(x.dtype)[:, None, 0, :]
+        y = yg if y is None else y + yg
+    return y
+
+
+def dequant_int4h(packed: jnp.ndarray, scale: jnp.ndarray,
+                  dtype) -> jnp.ndarray:
+    """Materializing dequant for the half layout (parity tests, export).
+    Normal: packed [.., K/2, N] + scale [.., G, 1, N] -> [.., K, N];
+    transposed: packed [.., N, K/2] + scale [.., G, N, 1] -> [.., N, K]."""
+    transposed = scale.shape[-1] == 1
+    axis = packed.ndim - 1 if transposed else packed.ndim - 2
+    lo = _unpack(packed, True, jnp.float32)
+    hi = _unpack(packed, False, jnp.float32)
+    w = jnp.concatenate([lo, hi], axis=axis)
+    g_n = scale.shape[-3]
+    if transposed:
+        *lead, o, k = w.shape
+        wb = w.reshape(*lead, o, g_n, k // g_n)
+        s = jnp.moveaxis(scale, -3, -2)  # [.., G, O, 1] -> [.., O, G, 1]
+        return (wb * s).reshape(w.shape).astype(dtype)
+    *lead, k, o = w.shape
+    wb = w.reshape(*lead, g_n, k // g_n, o)
+    return (wb * scale[..., :, :, :]).reshape(w.shape).astype(dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -15,5 +15,5 @@ def test_run_all_tiny_emits_five_configs():
     rows = [json.loads(line) for line in r.stdout.splitlines()
             if line.startswith("{")]
     configs = {row["config"] for row in rows}
-    assert configs == {1, 2, 3, 4, 5, 6, 7, 8}
+    assert configs == {1, 2, 3, 4, 5, 6, 7, 8, 9}
     assert all(row["value"] > 0 for row in rows)

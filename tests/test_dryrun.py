@@ -61,11 +61,15 @@ def test_entry_traces():
     does the real single-chip compile; this guards Python/shape errors)."""
     from medplib_tpu.models import medplib
 
-    cfg = graft._flagship_cfg(num_layers=8)
+    from medplib_tpu.utils import quantize as qz
+
+    cfg = graft._flagship_cfg(num_layers=32)  # entry() runs FULL depth now
     rng = np.random.default_rng(0)
     params_shapes = jax.eval_shape(
         lambda k: medplib.init_medplib(k, cfg, jnp.bfloat16),
         jax.random.PRNGKey(0))
+    # entry() quantizes to the int8 serving config before the forward
+    params_shapes = jax.eval_shape(qz.quantize_tree, params_shapes)
     batch = graft._make_batch(cfg, B=1, T=32, rng=rng)
 
     def fn(params, batch):

@@ -281,3 +281,50 @@ def test_engine_stress_randomized_traffic(tiny):
                 assert results[j] == want[:budget], (j, results[j], want)
     finally:
         eng.shutdown()
+
+
+def test_engine_prompt_buckets_and_cancel(tiny):
+    """max_prompt_len engine (VERDICT round-2 task 5): requests collated at
+    a NARROWER bucket are padded to the slot shape at insert and decode the
+    same tokens as full-width admission; cancel() retires a slot early."""
+    cfg, params, tok, cc = tiny
+    cc_small = CollatorConfig(max_seq_len=24,
+                              image_tokens=cfg.vision.num_patches,
+                              sam_image_size=cfg.sam.image_size,
+                              clip_image_size=cfg.vision.image_size)
+    prompt = "USER: <image>\nshort question ASSISTANT:"
+    b_small = _make_batch(cfg, tok, cc_small, prompt)
+    b_full = _make_batch(cfg, tok, cc, prompt)
+
+    eng = BatchedEngine(cfg, params, slots=2, max_new_tokens=8, chunk=4,
+                        max_prompt_len=cc.max_seq_len)
+    try:
+        toks_small = eng.submit(b_small, temperature=0.0).tokens()
+        toks_full = eng.submit(b_full, temperature=0.0).tokens()
+        assert toks_small == toks_full, (toks_small, toks_full)
+
+        # over-wide prompts are rejected up front
+        cc_big = CollatorConfig(max_seq_len=64,
+                                image_tokens=cfg.vision.num_patches,
+                                sam_image_size=cfg.sam.image_size,
+                                clip_image_size=cfg.vision.image_size)
+        with pytest.raises(ValueError, match="max_prompt_len"):
+            eng.submit(_make_batch(cfg, tok, cc_big, prompt))
+
+    finally:
+        eng.shutdown()
+
+    # cancel(): stream terminates without draining the full budget. The
+    # engine decodes ahead of the consumer, so cancel immediately after
+    # submit and allow a few chunks of slack for the race.
+    eng2 = BatchedEngine(cfg, params, slots=2, max_new_tokens=64, chunk=4,
+                         max_prompt_len=cc.max_seq_len)
+    try:
+        req = eng2.submit(b_small, temperature=0.0)
+        req.cancel()
+        got = []
+        for chunk_toks in req:
+            got.extend(chunk_toks)
+        assert len(got) <= 32, len(got)  # far short of the 64 budget
+    finally:
+        eng2.shutdown()

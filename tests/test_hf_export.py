@@ -215,3 +215,32 @@ def test_save_hf_dir_roundtrip(tmp_path):
     assert back["b.weight"].dtype == jnp.bfloat16
     np.testing.assert_array_equal(np.asarray(back["b.weight"], np.float32),
                                   np.ones((4, 4), np.float32))
+
+
+def test_quantized_flagship_exports_same_manifest():
+    """Task-10 extension: the QUANTIZED flagship tree (int8 attn + int4h
+    experts, utils/quantize.quantize_flagship_moe) dequantizes back to the
+    exact HF key manifest of the unquantized export, values within
+    quantization tolerance."""
+    import dataclasses
+
+    from medplib_tpu.models import medplib
+    from medplib_tpu.utils import quantize as qz
+
+    cfg = dataclasses.replace(MedplibConfig.tiny(), moe=MoeConfig(
+        enable=True, num_experts=2, top_k=1, moe_mode="dense"))
+    params = medplib.init_medplib(jax.random.PRNGKey(0), cfg)
+    sd_ref = hf_export.medplib_to_hf(params, cfg)
+
+    qparams = qz.quantize_flagship_moe(
+        jax.tree_util.tree_map(lambda a: a, params))
+    qparams = qz.dequantize_tree(qparams, jnp.float32)
+    sd_q = hf_export.medplib_to_hf(qparams, cfg)
+
+    assert set(sd_q) == set(sd_ref)
+    for k in sd_ref:
+        a, b = sd_ref[k], sd_q[k]
+        assert a.shape == b.shape, k
+        denom = np.abs(a).mean() + 1e-6
+        # int4h experts on tiny random weights: ~10% mean error; int8 ~1%
+        assert np.abs(a - b).mean() / denom < 0.2, k

@@ -57,7 +57,8 @@ def test_int4_quantize_dequant_exact_on_grid():
         scales = rng.uniform(0.5, 2.0, size=shape[:1] + (1,) * 2)
         w = levels * scales
         tree = {name: {"kernel": jnp.asarray(w)}}
-        q = quantize_tree(tree, skip=(), bits=4, block=8)
+        q = quantize_tree(tree, skip=(), bits=4, block=8,
+                          int4_scheme="block")
         node = q[name]
         assert node["kernel"].dtype == jnp.int8
         assert "scale4" in node and "scale" not in node
@@ -72,7 +73,7 @@ def test_int4_forward_close_to_fp32():
     params = llama.init_llama(jax.random.PRNGKey(0), cfg)
     ids = jnp.arange(12).reshape(1, 12) % cfg.vocab_size
     h_fp, _, _ = llama.forward(params, cfg, llama.embed(params, ids))
-    qparams = quantize_tree(params, bits=4)
+    qparams = quantize_tree(params, bits=4, int4_scheme="block")
     assert qparams["layers"]["attn"]["q_proj"]["kernel"].dtype == jnp.int8
     assert "scale4" in qparams["layers"]["attn"]["q_proj"]
     # packed: half the elements of the original kernel
@@ -88,7 +89,7 @@ def test_int4_forward_close_to_fp32():
 def test_int4_decode_consistent():
     cfg = LlamaConfig.tiny()
     params = quantize_tree(llama.init_llama(jax.random.PRNGKey(1), cfg),
-                           bits=4)
+                           bits=4, int4_scheme="block")
     B, T, MAX = 1, 6, 12
     ids = jnp.arange(T).reshape(B, T) % cfg.vocab_size
     full, _, _ = llama.forward(params, cfg, llama.embed(params, ids))
@@ -243,3 +244,138 @@ def test_residual_moe_coefficient_never_quantized():
     assert "scale" not in q["layers"]["moe"]["coefficient"]
     assert q["layers"]["moe"]["experts"]["gate_proj"]["kernel"].dtype == \
         jnp.int8
+
+
+def test_int4h_pack_dequant_matches_grid():
+    """Half-layout int4 (VERDICT round-2 task 3): values representable on
+    the int4 grid round-trip exactly through pack -> dequant_int4h."""
+    from medplib_tpu.utils.quantize import (_quantize_kernel4h, dequant_int4h)
+    rng = np.random.default_rng(0)
+    K, N, G = 32, 16, 8
+    grid = rng.integers(-7, 8, size=(K, N)).astype(np.float32) * 0.01
+    # pin one |7| per (group, channel) so every scale is exactly 0.01
+    grid[:: K // G, :] = 7.0 * 0.01
+    q, s = _quantize_kernel4h(jnp.asarray(grid), False, G)
+    assert q.shape == (K // 2, N) and s.shape == (G, 1, N)
+    back = dequant_int4h(q, s, jnp.float32)
+    np.testing.assert_allclose(np.asarray(back), grid, rtol=1e-5, atol=1e-6)
+
+    # transposed layout
+    qt, st = _quantize_kernel4h(jnp.asarray(grid.T.copy()), True, G)
+    assert qt.shape == (N, K // 2) and st.shape == (G, N, 1)
+    np.testing.assert_allclose(np.asarray(dequant_int4h(qt, st, jnp.float32)),
+                               grid.T, rtol=1e-5, atol=1e-6)
+
+
+def test_int4h_fused_matmuls_match_dequant():
+    """The grouped-dot fused path == x @ dequant (both layouts + experts)."""
+    from medplib_tpu.utils import quantize as qz
+    rng = np.random.default_rng(1)
+    K, N, G, B = 64, 24, 8, 5
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.1
+    x = jnp.asarray(rng.normal(size=(B, K)).astype(np.float32))
+    q, s = qz._quantize_kernel4h(jnp.asarray(w), False, G)
+    want = x @ qz.dequant_int4h(q, s, jnp.float32)
+    got = qz.int4h_matmul(x, q, s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+    qt, st = qz._quantize_kernel4h(jnp.asarray(w.T.copy()), True, G)
+    want_t = jnp.einsum("bi,oi->bo", x, qz.dequant_int4h(qt, st, jnp.float32))
+    got_t = qz.int4h_matmul_t(x, qt, st)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               rtol=1e-4, atol=1e-5)
+
+    # stacked experts einsum
+    E, C = 2, 7
+    we = rng.normal(size=(E, K, N)).astype(np.float32) * 0.1
+    xe = jnp.asarray(rng.normal(size=(E, C, K)).astype(np.float32))
+    qe, se = qz._quantize_kernel4h(jnp.asarray(we), False, G)
+    want_e = jnp.einsum("ech,ehm->ecm", xe,
+                        qz.dequant_int4h(qe, se, jnp.float32))
+    got_e = qz.int4h_expert_einsum(xe, qe, se)
+    np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_int4h_llama_forward_close_and_decode_consistent():
+    cfg = LlamaConfig.tiny()
+    params = llama.init_llama(jax.random.PRNGKey(3), cfg)
+    ids = jnp.arange(12).reshape(1, 12) % cfg.vocab_size
+    h_fp, _, _ = llama.forward(params, cfg, llama.embed(params, ids))
+    qparams = quantize_tree(params, bits=4)  # default scheme: half
+    assert "scale4h" in qparams["layers"]["attn"]["q_proj"]
+    assert qparams["layers"]["mlp"]["gate_proj"]["kernel"].shape[1] == \
+        cfg.hidden_size // 2
+    h_q, _, _ = llama.forward(qparams, cfg, llama.embed(qparams, ids))
+    rel = float(jnp.linalg.norm(h_q - h_fp) / jnp.linalg.norm(h_fp))
+    # tiny random nets amplify 4-bit noise (same allowance as the block
+    # scheme's test above); measured: half 0.204 vs block-64 0.252 here
+    assert rel < 0.35, rel
+
+    B, T, MAX = 1, 6, 12
+    ids = jnp.arange(T).reshape(B, T) % cfg.vocab_size
+    full, _, _ = llama.forward(qparams, cfg, llama.embed(qparams, ids))
+    cache = llama.KVCache.init(cfg, B, MAX, dtype=jnp.float32)
+    _, cache, _ = llama.forward(qparams, cfg,
+                                llama.embed(qparams, ids[:, :-1]),
+                                cache=cache)
+    step, _ = llama.forward_decode(qparams, cfg,
+                                   llama.embed(qparams, ids[:, -1:]), cache)
+    np.testing.assert_allclose(np.asarray(step), np.asarray(full[:, -1:]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_int4h_moe_experts():
+    """int4h expert stacks route through the fused einsum and stay close to
+    the fp32 MoE output (the flagship fit-path)."""
+    from medplib_tpu.config import MoeConfig
+    from medplib_tpu.ops.moe import moe_mlp
+    rng = jax.random.PRNGKey(5)
+    E, H, M, B, T = 2, 32, 64, 2, 8
+    ks = jax.random.split(rng, 4)
+    mp = {
+        "router": {"kernel": jax.random.normal(ks[0], (H, E)) * H ** -0.5},
+        "experts": {
+            "gate_proj": {"kernel": jax.random.normal(ks[1], (E, H, M))
+                          * H ** -0.5},
+            "up_proj": {"kernel": jax.random.normal(ks[2], (E, H, M))
+                        * H ** -0.5},
+            "down_proj": {"kernel": jax.random.normal(ks[3], (E, M, H))
+                          * M ** -0.5},
+        },
+    }
+    x = jax.random.normal(jax.random.fold_in(rng, 9), (B, T, H))
+    mcfg = MoeConfig(enable=True, num_experts=E, top_k=1,
+                     capacity_factor=2.0, eval_capacity_factor=2.0)
+    y_fp, _ = moe_mlp(mp, x, mcfg, train=False)
+    mq = quantize_tree(jax.tree_util.tree_map(lambda a: a, mp), bits=4)
+    # router never quantized; experts packed along H
+    assert "scale4h" not in mq["router"]
+    assert mq["experts"]["gate_proj"]["kernel"].shape == (E, H // 2, M)
+    y_q, _ = moe_mlp(mq, x, mcfg, train=False)
+    rel = float(jnp.linalg.norm(y_q - y_fp) / (jnp.linalg.norm(y_fp) + 1e-9))
+    assert rel < 0.2, rel
+
+
+def test_pallas_int4h_matmul_matches_dequant():
+    """ops/pallas/int4_matmul (in-register nibble unpack) == the XLA
+    dequant matmul, both layouts (interpret mode on CPU)."""
+    from medplib_tpu.ops.pallas.int4_matmul import (int4h_matmul_pallas,
+                                                    int4h_matmul_t_pallas)
+    from medplib_tpu.utils import quantize as qz
+    rng = np.random.default_rng(2)
+    M, K, N, G = 12, 256, 320, 8
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.1
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    q, s = qz._quantize_kernel4h(jnp.asarray(w), False, G)
+    want = x @ qz.dequant_int4h(q, s, jnp.float32)
+    got = int4h_matmul_pallas(x, q, s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+    qt, st = qz._quantize_kernel4h(jnp.asarray(w.T.copy()), True, G)
+    want_t = jnp.einsum("bi,oi->bo", x, qz.dequant_int4h(qt, st, jnp.float32))
+    got_t = int4h_matmul_t_pallas(x, qt, st)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               rtol=2e-3, atol=2e-3)

@@ -320,3 +320,115 @@ def test_web_post_routing_is_robust():
         assert r.status_code == 400
     finally:
         srv.shutdown()
+
+
+def _drain(worker, payload):
+    chunks = []
+    for raw in worker.generate_stream(payload):
+        chunks.append(json.loads(raw.rstrip(b"\0")))
+    return chunks
+
+
+def _tiny_worker(max_new_tokens=8, max_seq_len=48):
+    cfg = MedplibConfig.tiny()
+    params = medplib.init_medplib(jax.random.PRNGKey(0), cfg)
+    worker = wk.ModelWorker(cfg, params, FakeTok(), max_seq_len=max_seq_len,
+                            max_new_tokens=max_new_tokens)
+    for cc in worker._ccs.values():
+        cc.image_tokens = cfg.vision.num_patches
+        cc.sam_image_size = cfg.sam.image_size
+        cc.clip_image_size = cfg.vision.image_size
+    return worker
+
+
+def _payload(**kw):
+    img = (np.random.default_rng(0).uniform(0, 255, (64, 80, 3))
+           ).astype(np.uint8)
+    p = {"prompt": "USER: <image>\nWhat is this? ASSISTANT:",
+         "images": [protocol.encode_image_b64(img)],
+         "temperature": 0.0}  # greedy: token-deterministic across calls
+    p.update(kw)
+    return p
+
+
+def test_worker_honors_per_request_max_new_tokens():
+    """model_worker.py:291: min(params['max_new_tokens'], budget)."""
+    worker = _tiny_worker(max_new_tokens=8)
+    full = _drain(worker, _payload())[-1]["text"]
+    short = _drain(worker, _payload(max_new_tokens=2))[-1]["text"]
+    assert len(short.split()) <= 2
+    assert len(short.split()) < len(full.split())
+    # over-budget requests clamp to the worker budget instead of erroring
+    capped = _drain(worker, _payload(max_new_tokens=10_000))[-1]
+    assert capped["error_code"] == 0
+
+
+def test_worker_honors_stop_string():
+    """model_worker.py:292-296, 441-444: rfind truncation + early stop."""
+    worker = _tiny_worker(max_new_tokens=8)
+    full = _drain(worker, _payload())[-1]["text"]
+    assert full
+    first_word = full.split()[0]
+    stopped = _drain(worker, _payload(stop=first_word))[-1]["text"]
+    # rfind truncation (reference semantics): the output is cut at the LAST
+    # stop occurrence — a greedy tiny model may repeat the word, so assert
+    # the stream was cut short, not absence
+    assert len(stopped.split()) < len(full.split()), (stopped, full)
+
+
+def test_worker_single_token_stop_id():
+    class OneTok(FakeTok):
+        def __call__(self, text, add_special_tokens=True):
+            class R:
+                pass
+            r = R()
+            r.input_ids = [42] if text == "%" else [1, 5, 6]
+            return r
+
+    cfg = MedplibConfig.tiny()
+    params = medplib.init_medplib(jax.random.PRNGKey(0), cfg)
+    worker = wk.ModelWorker(cfg, params, OneTok(), max_seq_len=48)
+    assert worker._stop_token_id("%") == 42
+    assert worker._stop_token_id("longer stop") is None
+    assert worker._stop_token_id(None) is None
+
+
+def test_worker_context_clamp_keeps_prompt_tail():
+    """model_worker.py:317: prompt clipped to context_len - max_new - 8,
+    keeping the TAIL."""
+    worker = _tiny_worker(max_new_tokens=4, max_seq_len=24)
+    long_prompt = ("USER: <image>\n" +
+                   " ".join(f"word{i}" for i in range(80)) + " ASSISTANT:")
+    out = _drain(worker, _payload(prompt=long_prompt))[-1]
+    assert out["error_code"] == 0  # still serves; no shape error
+
+
+def test_worker_prompt_buckets_pick_smallest():
+    worker = _tiny_worker(max_seq_len=512)
+    assert worker.buckets == (128, 256, 512)
+    assert worker._pick_bucket(40).max_seq_len == 128
+    assert worker._pick_bucket(128).max_seq_len == 128
+    assert worker._pick_bucket(200).max_seq_len == 256
+    assert worker._pick_bucket(400).max_seq_len == 512
+    small = _tiny_worker(max_seq_len=48)
+    assert small.buckets == (48,)
+
+
+def test_incremental_detok_prefix_fallback():
+    """ADVICE round-2: a tokenizer whose rendering changes across the commit
+    boundary must not emit garbled text — the detok falls back to a full
+    re-decode."""
+
+    class WeirdTok(FakeTok):
+        def decode(self, ids, skip_special_tokens=False):
+            # rendering depends on the TOTAL number of tokens: any prefix
+            # assumption breaks once the count crosses 20
+            joined = " ".join(f"t{t}" for t in ids)
+            return ("LONG " + joined) if len(ids) > 20 else joined
+
+    d = wk._IncrementalDetok(WeirdTok())
+    out = ""
+    for i in range(30):
+        out = d.extend([i])
+    expect = WeirdTok().decode(list(range(30)))
+    assert out == expect
