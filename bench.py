@@ -110,7 +110,11 @@ def main():
     # stacks (8.6 GB each) are ever materialized in HBM — only the final
     # int8/int4 tree comes out.
     if moe:
-        params = ge._init_flagship_moe_quantized(jax.random.PRNGKey(0), cfg)
+        # BENCH_MOE_EXPERT_BITS=4 for the int4h capacity layout (~4.3 GB
+        # experts); default 8 feeds the fused W8A8 grouped-matmul prefill
+        params = ge._init_flagship_moe_quantized(
+            jax.random.PRNGKey(0), cfg,
+            expert_bits=int(os.environ.get("BENCH_MOE_EXPERT_BITS", "8")))
     else:
         params = jax.jit(
             lambda k: medplib.init_medplib(k, cfg, jnp.bfloat16)
@@ -162,8 +166,9 @@ def main():
     # vs 12.41 weight-only at B=14. BENCH_ACTQ=0 opts out.
     actq = use_int8 and os.environ.get("BENCH_ACTQ", "1") == "1"
     # BENCH_KVQUANT=1: int8 KV cache with per-token-per-head scales — halves
-    # cache HBM and decode's cache-read traffic (models/llama.KVCache)
-    kvq = os.environ.get("BENCH_KVQUANT", "0") == "1"
+    # cache HBM and decode's cache-read traffic (models/llama.KVCache).
+    # Default ON for the MoE flagship (int8 experts need the headroom).
+    kvq = os.environ.get("BENCH_KVQUANT", "1" if moe else "0") == "1"
     gen = jax.jit(
         lambda p, b: medplib.generate(p, cfg, b, max_new_tokens=max_new,
                                       unroll_layers=unroll, kv_quant=kvq))

@@ -1,0 +1,95 @@
+"""MoE layer-level bisection: where does flagship prefill time go?
+
+Times ONE decoder layer at flagship prefill shapes (B=8, T=633 spliced)
+with: dense MLP | MoE sort-dispatch (eval cf 2.0 = 2S padded slots) |
+MoE dense-both (same FLOPs, no routing) | MoE gmm (Pallas grouped matmul,
+S slots) when available. Run: timeout 2400 python benchmarks/profile_moe.py
+"""
+import os, sys, time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+from medplib_tpu.config import LlamaConfig, MoeConfig
+from medplib_tpu.models import llama, moe_llama
+
+
+def log(msg):
+    print(f"[moe {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def bench(mode, B=8, T=633, reps=4, iters=3):
+    cfg = LlamaConfig(num_layers=1)
+    mcfg = MoeConfig(enable=True, num_experts=2, top_k=1,
+                     capacity_factor=1.5, eval_capacity_factor=2.0,
+                     moe_mode="dense")
+    actq = mode.endswith("_w8a8")
+    int8_experts = actq or mode.endswith("8")
+    if int8_experts:
+        mode = mode.replace("_w8a8", "").rstrip("8")
+    if mode == "dense":
+        params = jax.jit(lambda k: llama.init_llama(k, cfg, jnp.bfloat16))(
+            jax.random.PRNGKey(0))
+    else:
+        params = jax.jit(lambda k: moe_llama.init_moe_llama(
+            k, cfg, mcfg, jnp.bfloat16))(jax.random.PRNGKey(0))
+        params = moe_llama.strip_dense_mlp(params, cfg, mcfg)
+        if int8_experts or actq:
+            from medplib_tpu.utils.quantize import quantize_tree
+            params["layers"]["moe"]["experts"] = quantize_tree(
+                params["layers"]["moe"]["experts"], skip=(), bits=8)
+    jax.block_until_ready(params)
+    from medplib_tpu.utils.quantize import dynamic_act_quant
+    mask = jnp.ones((B, T), jnp.int32)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (B, T, cfg.hidden_size),
+                           jnp.bfloat16)
+
+    def fwd(p, c):
+        if mode == "dense":
+            out, _, _ = llama.forward(p, cfg, c, mask)
+        else:
+            from medplib_tpu.ops.moe import moe_mlp
+
+            def apply(layer_p, h):
+                return moe_mlp(layer_p["moe"], h, mcfg, train=False,
+                               dispatch_mode=mode)
+
+            out, _, _ = llama.forward(p, cfg, c, mask, mlp_apply=apply)
+        return out
+
+    @jax.jit
+    def run(p, c):
+        def body(c, _):
+            out = fwd(p, c)
+            s = 1.0 + 1e-20 * jnp.mean(out.astype(jnp.float32))
+            return (c.astype(jnp.float32) * s).astype(c.dtype), ()
+        c, _ = jax.lax.scan(body, c, None, length=reps)
+        return jnp.sum(c[0, 0, :8].astype(jnp.float32))
+
+    tag = mode + ("8" if int8_experts and not actq else "") + \
+        ("_w8a8" if actq else "")
+    t0 = time.time()
+    with dynamic_act_quant(actq):  # trace-time flag
+        float(run(params, x0))
+    log(f"{tag}: compile {time.time()-t0:.0f}s")
+    t0 = time.time()
+    for _ in range(iters):
+        float(run(params, x0))
+    dt = (time.time() - t0) / (iters * reps)
+    log(f"{tag}: {dt*1e3:.2f} ms/layer @ B={B} T={T}")
+    return dt
+
+
+if __name__ == "__main__":
+    log(f"devices: {jax.devices()}")
+    modes = sys.argv[1:] or ["dense", "sort", "ragged"]
+    for m in modes:
+        bench(m)
+    log("done")

@@ -178,13 +178,124 @@ def sort_dispatch(logits: jnp.ndarray, k: int, capacity: int) -> SortDispatch:
                         aux_loss=aux)
 
 
+def _ragged_moe(xs: jnp.ndarray, logits: jnp.ndarray, experts,
+                dtype) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Zero-padding top-1 expert MLP via jax.lax.ragged_dot (grouped
+    matmul): tokens are stably sorted by chosen expert, each expert
+    contracts ONLY its actual tokens, outputs scatter back by the inverse
+    permutation.
+
+    Exact-equivalent to the capacity dispatch whenever capacity >= S (no
+    token can be dropped) — which holds for the shipped config at eval
+    (top-1, 2 experts, eval_capacity_factor 2.0 -> capacity == S). The
+    capacity formulation pads every expert to `capacity` slots, so at
+    eval cf 2.0 it computes 2x the FFN FLOPs, half on padding; this
+    computes exactly S token-slots — the MoE prefill at dense-model cost.
+    """
+    s, h = xs.shape
+    e = logits.shape[-1]
+    gates = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    idx = jnp.argmax(gates, axis=-1)
+    gate_s = jnp.take_along_axis(gates, idx[:, None], axis=1)[:, 0]
+
+    me = jnp.mean(gates, axis=0)
+    ce = jnp.mean(jax.nn.one_hot(idx, e), axis=0)
+    aux = jnp.sum(me * ce) * e
+
+    order = jnp.argsort(idx, stable=True)
+    group_sizes = jnp.bincount(idx, length=e).astype(jnp.int32)
+    xs_sorted = xs[order]
+
+    from medplib_tpu.train.lora import dequant_kernel
+
+    def rag(node, xin):
+        # int4h/int8 experts dequantize per-layer-slice here (ragged_dot's
+        # rhs is a dense [E, K, N] operand); the transient bf16 copy is one
+        # layer's experts, and the FLOP savings dwarf its traffic
+        return jax.lax.ragged_dot(xin, dequant_kernel(node, xin.dtype),
+                                  group_sizes)
+
+    h1 = rag(experts["gate_proj"], xs_sorted)
+    h2 = rag(experts["up_proj"], xs_sorted)
+    out = rag(experts["down_proj"], jax.nn.silu(h1) * h2)
+    y_sorted = out * gate_s[order][:, None].astype(out.dtype)
+    y = jnp.zeros((s, h), dtype).at[order].set(y_sorted.astype(dtype))
+    return y, aux
+
+
+def _gmm_moe(xs: jnp.ndarray, logits: jnp.ndarray, experts,
+             dtype, block_m: int = 512) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-1 expert MLP via the Pallas grouped matmul (ops/pallas/gmm):
+    expert-sorted tokens in a group-ALIGNED buffer, each m-tile dotted
+    against exactly its expert's weights — ~S token-slots of FFN compute
+    instead of the capacity dispatch's E*capacity (2S at eval cf 2.0).
+    Exact-equivalent whenever capacity >= S (zero-drop; see _ragged_moe).
+    jax.lax.ragged_dot measured 22 TF/s on v5e-axon — this kernel exists
+    because the stock lowering loses to even the padded path."""
+    from medplib_tpu.ops.pallas.gmm import align_groups, gmm
+    from medplib_tpu.train.lora import dequant_kernel
+
+    s, h = xs.shape
+    e = logits.shape[-1]
+    gates = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    idx = jnp.argmax(gates, axis=-1)
+    gate_s = jnp.take_along_axis(gates, idx[:, None], axis=1)[:, 0]
+
+    me = jnp.mean(gates, axis=0)
+    ce = jnp.mean(jax.nn.one_hot(idx, e), axis=0)
+    aux = jnp.sum(me * ce) * e
+
+    order = jnp.argsort(idx, stable=True)
+    sorted_expert = idx[order]
+    group_sizes = jnp.bincount(idx, length=e).astype(jnp.int32)
+    group_start = jnp.searchsorted(sorted_expert, sorted_expert,
+                                   side="left")
+    ranks = (jnp.arange(s) - group_start).astype(jnp.int32)
+    x_al, dest, tile_gid = align_groups(xs[order], ranks,
+                                        sorted_expert.astype(jnp.int32),
+                                        group_sizes, e, block_m)
+
+    def wmat(node):
+        # int8 nodes pass through natively (in-kernel epilogue dequant);
+        # int4h dequantizes to a one-layer bf16 copy outside
+        if "scale" in node and node["kernel"].dtype == jnp.int8:
+            return node["kernel"], node["scale"].astype(jnp.float32)
+        return dequant_kernel(node, dtype), None
+
+    wg, sg = wmat(experts["gate_proj"])
+    wu, su = wmat(experts["up_proj"])
+    wd, sd = wmat(experts["down_proj"])
+
+    from medplib_tpu.utils.quantize import act_quant_enabled
+    if (act_quant_enabled() and sg is not None and su is not None
+            and sd is not None):
+        # fused W8A8: s8 x s8 dots with int32 VMEM accumulation and the
+        # (row x channel) rescale at the kernel epilogue — the int32
+        # product never touches HBM (the structural loss that capped the
+        # XLA W8A8 composition at ~1.08x, see README perf notes)
+        from medplib_tpu.ops.pallas.gmm import quantize_rows
+        xq, xsc = quantize_rows(x_al)
+        h1 = gmm(xq, wg, tile_gid, sg, a_scale=xsc, block_m=block_m)
+        h2 = gmm(xq, wu, tile_gid, su, a_scale=xsc, block_m=block_m)
+        aq, asc = quantize_rows(jax.nn.silu(h1) * h2)
+        out_al = gmm(aq, wd, tile_gid, sd, a_scale=asc, block_m=block_m)
+    else:
+        h1 = gmm(x_al, wg, tile_gid, sg, block_m=block_m)
+        h2 = gmm(x_al, wu, tile_gid, su, block_m=block_m)
+        out_al = gmm(jax.nn.silu(h1) * h2, wd, tile_gid, sd,
+                     block_m=block_m)
+    y_sorted = out_al[dest] * gate_s[order][:, None].astype(out_al.dtype)
+    y = jnp.zeros((s, h), dtype).at[order].set(y_sorted.astype(dtype))
+    return y, aux
+
+
 def moe_mlp(
     moe_params,
     x: jnp.ndarray,
     cfg: MoeConfig,
     train: bool = True,
     ep_shard: bool = False,
-    dispatch_mode: str = "sort",
+    dispatch_mode: str = "auto",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Expert-parallel SwiGLU MoE MLP.
 
@@ -192,6 +303,12 @@ def moe_mlp(
                  "experts": {gate_proj|up_proj: {"kernel": [E, H, M]},
                              down_proj: {"kernel": [E, M, H]}}}
     x: [B, T, H] -> ([B, T, H], aux_loss scalar).
+
+    dispatch_mode: "sort" (capacity semantics via stable sort), "einsum"
+    (GShard one-hot), "ragged" (jax.lax.ragged_dot), "gmm" (Pallas grouped
+    matmul), or "auto" — gmm for prefill-sized batches when it is EXACTLY
+    equivalent to the capacity dispatch (inference, top-1, capacity >= S
+    so no token can be dropped, single shard), else sort.
     """
     b, t, h = x.shape
     s = b * t
@@ -202,6 +319,25 @@ def moe_mlp(
 
     logits = xs.astype(jnp.float32) @ moe_params["router"]["kernel"].astype(
         jnp.float32)
+
+    if dispatch_mode == "auto":
+        zero_drop = (not train) and cfg.top_k == 1 and capacity >= s \
+            and not ep_shard
+        # decode-sized S: routing overhead is trivial and every expert's
+        # weights are read regardless — the sort path stays optimal there
+        dispatch_mode = "gmm" if zero_drop and s >= 1024 else "sort"
+
+    if dispatch_mode == "gmm":
+        y, aux = _gmm_moe(xs, logits, moe_params["experts"], x.dtype)
+        if "residual_mlp" in moe_params:
+            y = _apply_residual(moe_params, xs, y, x.dtype)
+        return y.reshape(b, t, h), aux
+
+    if dispatch_mode == "ragged":
+        y, aux = _ragged_moe(xs, logits, moe_params["experts"], x.dtype)
+        if "residual_mlp" in moe_params:
+            y = _apply_residual(moe_params, xs, y, x.dtype)
+        return y.reshape(b, t, h), aux
 
     if dispatch_mode == "sort":
         d = sort_dispatch(logits, cfg.top_k, capacity)
@@ -249,22 +385,27 @@ def moe_mlp(
         y = jnp.einsum("sec,ech->sh", g.combine.astype(x.dtype), out_e)
 
     if "residual_mlp" in moe_params:
-        # Residual-MoE (deepspeed MoE(use_residual=True), wired at
-        # medplib_moe_llama.py:60, 613): a dense SwiGLU MLP runs in parallel
-        # with the experts and the two outputs are mixed by a learned 2-way
-        # softmax coefficient of the input token.
-        rk = moe_params["residual_mlp"]
-        from medplib_tpu.train.lora import linear as lora_linear
-        r1 = lora_linear(rk["gate_proj"], xs)
-        r2 = lora_linear(rk["up_proj"], xs)
-        r_out = lora_linear(rk["down_proj"], jax.nn.silu(r1) * r2)
-        ck = moe_params["coefficient"]
-        # dequant-aware (defense in depth: "coefficient" is also in
-        # quantize.SKIP_MODULES like the router — gating layers are
-        # numerics-sensitive and tiny)
-        coef = xs.astype(jnp.float32) @ dequant_kernel(
-            ck, jnp.float32)
-        coef = jax.nn.softmax(coef + ck["bias"].astype(jnp.float32), axis=-1)
-        coef = coef.astype(x.dtype)
-        y = y * coef[:, 0:1] + r_out * coef[:, 1:2]
+        y = _apply_residual(moe_params, xs, y, x.dtype)
     return y.reshape(b, t, h), aux
+
+
+def _apply_residual(moe_params, xs: jnp.ndarray, y: jnp.ndarray,
+                    dtype) -> jnp.ndarray:
+    """Residual-MoE (deepspeed MoE(use_residual=True), wired at
+    medplib_moe_llama.py:60, 613): a dense SwiGLU MLP runs in parallel
+    with the experts and the two outputs are mixed by a learned 2-way
+    softmax coefficient of the input token."""
+    from medplib_tpu.train.lora import dequant_kernel
+    from medplib_tpu.train.lora import linear as lora_linear
+    rk = moe_params["residual_mlp"]
+    r1 = lora_linear(rk["gate_proj"], xs)
+    r2 = lora_linear(rk["up_proj"], xs)
+    r_out = lora_linear(rk["down_proj"], jax.nn.silu(r1) * r2)
+    ck = moe_params["coefficient"]
+    # dequant-aware (defense in depth: "coefficient" is also in
+    # quantize.SKIP_MODULES like the router — gating layers are
+    # numerics-sensitive and tiny)
+    coef = xs.astype(jnp.float32) @ dequant_kernel(ck, jnp.float32)
+    coef = jax.nn.softmax(coef + ck["bias"].astype(jnp.float32), axis=-1)
+    coef = coef.astype(dtype)
+    return y * coef[:, 0:1] + r_out * coef[:, 1:2]

@@ -306,3 +306,154 @@ def test_moe_from_hf_residual_translation():
     x = jnp.asarray(rng.normal(size=(1, 4, h)).astype(np.float32))
     hidden, _, _ = moe_llama.forward(tree, cfg, mcfg, x, train=False)
     assert np.isfinite(np.asarray(hidden)).all()
+
+
+def test_ragged_dispatch_matches_sort_when_zero_drop():
+    """dispatch_mode='ragged' (jax.lax.ragged_dot grouped matmul) is
+    exact-equivalent to the capacity dispatch when capacity >= S: top-1,
+    eval cf 2.0, E=2 — the shipped inference config. 'auto' picks it."""
+    from medplib_tpu.config import MoeConfig
+    from medplib_tpu.ops.moe import moe_mlp
+    rng = jax.random.PRNGKey(11)
+    E, H, M, B, T = 2, 32, 64, 2, 8
+    ks = jax.random.split(rng, 4)
+    mp = {
+        "router": {"kernel": jax.random.normal(ks[0], (H, E)) * H ** -0.5},
+        "experts": {
+            "gate_proj": {"kernel": jax.random.normal(ks[1], (E, H, M))
+                          * H ** -0.5},
+            "up_proj": {"kernel": jax.random.normal(ks[2], (E, H, M))
+                        * H ** -0.5},
+            "down_proj": {"kernel": jax.random.normal(ks[3], (E, M, H))
+                          * M ** -0.5},
+        },
+    }
+    x = jax.random.normal(jax.random.fold_in(rng, 5), (B, T, H))
+    mcfg = MoeConfig(enable=True, num_experts=E, top_k=1,
+                     capacity_factor=1.5, eval_capacity_factor=2.0)
+    y_sort, aux_sort = moe_mlp(mp, x, mcfg, train=False,
+                               dispatch_mode="sort")
+    y_rag, aux_rag = moe_mlp(mp, x, mcfg, train=False,
+                             dispatch_mode="ragged")
+    y_auto, _ = moe_mlp(mp, x, mcfg, train=False)  # auto -> ragged
+    np.testing.assert_allclose(np.asarray(y_rag), np.asarray(y_sort),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y_auto), np.asarray(y_rag),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(aux_rag), float(aux_sort), rtol=1e-6)
+
+    # training (capacity can drop) must NOT auto-switch: cf 0.5 drops
+    # tokens, sort and ragged then legitimately differ
+    mcfg2 = MoeConfig(enable=True, num_experts=E, top_k=1,
+                      capacity_factor=0.5, eval_capacity_factor=0.5)
+    y_tr, _ = moe_mlp(mp, x, mcfg2, train=True)
+    y_tr_sort, _ = moe_mlp(mp, x, mcfg2, train=True, dispatch_mode="sort")
+    np.testing.assert_allclose(np.asarray(y_tr), np.asarray(y_tr_sort),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_ragged_dispatch_int4h_experts():
+    """ragged + int4h experts (the flagship combination) stays close to
+    the fp32 sort dispatch."""
+    from medplib_tpu.config import MoeConfig
+    from medplib_tpu.ops.moe import moe_mlp
+    from medplib_tpu.utils.quantize import quantize_tree
+    rng = jax.random.PRNGKey(13)
+    E, H, M, B, T = 2, 32, 64, 2, 8
+    ks = jax.random.split(rng, 4)
+    mp = {
+        "router": {"kernel": jax.random.normal(ks[0], (H, E)) * H ** -0.5},
+        "experts": {
+            "gate_proj": {"kernel": jax.random.normal(ks[1], (E, H, M))
+                          * H ** -0.5},
+            "up_proj": {"kernel": jax.random.normal(ks[2], (E, H, M))
+                        * H ** -0.5},
+            "down_proj": {"kernel": jax.random.normal(ks[3], (E, M, H))
+                          * M ** -0.5},
+        },
+    }
+    x = jax.random.normal(jax.random.fold_in(rng, 7), (B, T, H))
+    mcfg = MoeConfig(enable=True, num_experts=E, top_k=1,
+                     eval_capacity_factor=2.0)
+    y_fp, _ = moe_mlp(mp, x, mcfg, train=False, dispatch_mode="sort")
+    mq = quantize_tree(jax.tree_util.tree_map(lambda a: a, mp), bits=4)
+    y_q, _ = moe_mlp(mq, x, mcfg, train=False, dispatch_mode="ragged")
+    rel = float(jnp.linalg.norm(y_q - y_fp) / (jnp.linalg.norm(y_fp) + 1e-9))
+    assert rel < 0.2, rel
+
+
+def test_gmm_dispatch_matches_sort_when_zero_drop():
+    """dispatch_mode='gmm' (Pallas grouped matmul over group-aligned
+    tiles, ops/pallas/gmm.py) == capacity dispatch in the zero-drop
+    regime; 'auto' picks it at prefill-sized S; int8 experts dequantize
+    at the kernel epilogue."""
+    from medplib_tpu.config import MoeConfig
+    from medplib_tpu.ops.moe import moe_mlp
+    from medplib_tpu.utils.quantize import quantize_tree
+    rng = jax.random.PRNGKey(17)
+    E, H, M, B, T = 2, 128, 256, 8, 160  # S=1280 >= the gmm threshold
+    ks = jax.random.split(rng, 4)
+    mp = {
+        "router": {"kernel": jax.random.normal(ks[0], (H, E)) * H ** -0.5},
+        "experts": {
+            "gate_proj": {"kernel": jax.random.normal(ks[1], (E, H, M))
+                          * H ** -0.5},
+            "up_proj": {"kernel": jax.random.normal(ks[2], (E, H, M))
+                        * H ** -0.5},
+            "down_proj": {"kernel": jax.random.normal(ks[3], (E, M, H))
+                          * M ** -0.5},
+        },
+    }
+    x = jax.random.normal(jax.random.fold_in(rng, 5), (B, T, H))
+    mcfg = MoeConfig(enable=True, num_experts=E, top_k=1,
+                     eval_capacity_factor=2.0)
+    y_sort, aux_s = moe_mlp(mp, x, mcfg, train=False, dispatch_mode="sort")
+    y_gmm, aux_g = moe_mlp(mp, x, mcfg, train=False, dispatch_mode="gmm")
+    y_auto, _ = jax.jit(
+        lambda m, v: moe_mlp(m, v, mcfg, train=False))(mp, x)
+    np.testing.assert_allclose(np.asarray(y_gmm), np.asarray(y_sort),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(y_auto), np.asarray(y_gmm),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(aux_g), float(aux_s), rtol=1e-6)
+
+    # int8 experts: native int8 operand + epilogue scale inside the kernel
+    mq = quantize_tree(jax.tree_util.tree_map(lambda a: a, mp), bits=8)
+    assert mq["experts"]["gate_proj"]["kernel"].dtype == jnp.int8
+    y_q8, _ = moe_mlp(mq, x, mcfg, train=False, dispatch_mode="gmm")
+    rel = float(jnp.linalg.norm(y_q8 - y_sort) /
+                (jnp.linalg.norm(y_sort) + 1e-9))
+    assert rel < 0.05, rel
+
+
+def test_gmm_w8a8_dispatch():
+    """Fused W8A8 gmm (int8 activations + int8 experts, int32 VMEM
+    accumulation): engages only under dynamic_act_quant, stays within
+    double-quantization tolerance of the fp32 sort dispatch."""
+    from medplib_tpu.config import MoeConfig
+    from medplib_tpu.ops.moe import moe_mlp
+    from medplib_tpu.utils.quantize import dynamic_act_quant, quantize_tree
+    rng = jax.random.PRNGKey(23)
+    E, H, M, B, T = 2, 128, 256, 8, 160
+    ks = jax.random.split(rng, 4)
+    mp = {
+        "router": {"kernel": jax.random.normal(ks[0], (H, E)) * H ** -0.5},
+        "experts": {
+            "gate_proj": {"kernel": jax.random.normal(ks[1], (E, H, M))
+                          * H ** -0.5},
+            "up_proj": {"kernel": jax.random.normal(ks[2], (E, H, M))
+                        * H ** -0.5},
+            "down_proj": {"kernel": jax.random.normal(ks[3], (E, M, H))
+                          * M ** -0.5},
+        },
+    }
+    x = jax.random.normal(jax.random.fold_in(rng, 5), (B, T, H))
+    mcfg = MoeConfig(enable=True, num_experts=E, top_k=1,
+                     eval_capacity_factor=2.0)
+    y_ref, _ = moe_mlp(mp, x, mcfg, train=False, dispatch_mode="sort")
+    mq = quantize_tree(jax.tree_util.tree_map(lambda a: a, mp), bits=8)
+    with dynamic_act_quant(True):
+        y_w, _ = jax.jit(lambda m, v: moe_mlp(
+            m, v, mcfg, train=False, dispatch_mode="gmm"))(mq, x)
+    rel = float(jnp.linalg.norm(y_w - y_ref) / jnp.linalg.norm(y_ref))
+    assert rel < 0.05, rel
