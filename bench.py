@@ -135,9 +135,11 @@ def main():
     quant = os.environ.get("BENCH_QUANT", "int8")
     use_int8 = quant == "int8"
     if moe:
-        # already quantized inside the init jit (int8 attn + int4h experts)
+        # already quantized inside the init jit
         use_int8 = True
-        log("quantized flagship MoE (int8 attn + int4h experts)")
+        eb = os.environ.get("BENCH_MOE_EXPERT_BITS", "8")
+        log(f"quantized flagship MoE (int8 attn + int{eb}"
+            f"{'h' if eb == '4' else ''} experts)")
     elif quant in ("int8", "int4"):
         # weight-only int8/int4 serving config (utils/quantize.py, the
         # bitsandbytes-equivalent path): halves/quarters LLM HBM -> bigger
