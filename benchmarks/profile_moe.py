@@ -31,9 +31,13 @@ def bench(mode, B=8, T=633, reps=4, iters=3):
                      capacity_factor=1.5, eval_capacity_factor=2.0,
                      moe_mode="dense")
     actq = mode.endswith("_w8a8")
-    int8_experts = actq or mode.endswith("8")
-    if int8_experts:
-        mode = mode.replace("_w8a8", "").rstrip("8")
+    mode = mode.replace("_w8a8", "")
+    bits = 0   # expert weight bits: trailing 8 -> int8, 4 -> int4h(G=2)
+    if mode[-1] in "84":
+        bits = int(mode[-1])
+        mode = mode[:-1]
+    if actq and bits == 0:
+        bits = 8
     if mode == "dense":
         params = jax.jit(lambda k: llama.init_llama(k, cfg, jnp.bfloat16))(
             jax.random.PRNGKey(0))
@@ -41,10 +45,11 @@ def bench(mode, B=8, T=633, reps=4, iters=3):
         params = jax.jit(lambda k: moe_llama.init_moe_llama(
             k, cfg, mcfg, jnp.bfloat16))(jax.random.PRNGKey(0))
         params = moe_llama.strip_dense_mlp(params, cfg, mcfg)
-        if int8_experts or actq:
+        if bits:
             from medplib_tpu.utils.quantize import quantize_tree
             params["layers"]["moe"]["experts"] = quantize_tree(
-                params["layers"]["moe"]["experts"], skip=(), bits=8)
+                params["layers"]["moe"]["experts"], skip=(), bits=bits,
+                int4_groups=2)
     jax.block_until_ready(params)
     from medplib_tpu.utils.quantize import dynamic_act_quant
     mask = jnp.ones((B, T), jnp.int32)
@@ -73,8 +78,7 @@ def bench(mode, B=8, T=633, reps=4, iters=3):
         c, _ = jax.lax.scan(body, c, None, length=reps)
         return jnp.sum(c[0, 0, :8].astype(jnp.float32))
 
-    tag = mode + ("8" if int8_experts and not actq else "") + \
-        ("_w8a8" if actq else "")
+    tag = mode + (str(bits) if bits else "") + ("_w8a8" if actq else "")
     t0 = time.time()
     with dynamic_act_quant(actq):  # trace-time flag
         float(run(params, x0))

@@ -257,11 +257,18 @@ def bench_train(tiny: bool):
     tcfg = TrainConfig(lr=1e-4, warmup_steps=1, total_steps=100,
                        grad_accumulation_steps=1)
     state, tx = create_state(params, tcfg)
-    step = jax.jit(make_train_step(cfg, tcfg, tx))
-    # timed WITHOUT donation so the same state can repeat; one warm call
-    state2, metrics = step(state, batches)
-    loss = float(metrics["loss"])
-    dt = _timed(lambda s, b: step(s, b)[1]["loss"], state, batches, iters=3)
+    # DONATE the state and thread it through the timing loop: an undonated
+    # step holds two copies of the int8 base + towers (~10 GB) — measured
+    # OOM at 32L on the 16 GB chip
+    step = jax.jit(make_train_step(cfg, tcfg, tx), donate_argnums=(0,))
+    state, metrics = step(state, batches)          # compile + warm
+    loss = float(metrics["loss"])                  # host fetch = axon sync
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        state, metrics = step(state, batches)
+        loss = float(metrics["loss"])
+    dt = (time.time() - t0) / iters
     toks = B * (T - 1 + cfg.vision.num_patches)
     _report(6, "train_step_throughput", toks / dt, "tok/s")
     _report(6, "train_loss_finite", float(np.isfinite(loss)), "bool")
@@ -318,8 +325,13 @@ def bench_engine(tiny: bool):
         params = qz.quantize_tree(params)  # int8 serving config
         jax.block_until_ready(params)
         slots, n_req, new, T = 8, 16, 32, 48
+        # int8 KV (BENCH_ENGINE_KVQ=1) halves per-slot cache HBM — the
+        # headroom that lets BENCH_ENGINE_SLOTS=16 fit (VERDICT r2 #7)
+        slots = int(os.environ.get("BENCH_ENGINE_SLOTS", slots))
+        n_req = max(n_req, 2 * slots)
 
     rng = np.random.default_rng(0)
+    kvq = os.environ.get("BENCH_ENGINE_KVQ", "0") == "1" and not tiny
 
     def mk_batch(i):
         b = ge._make_batch(cfg, B=1, T=T, rng=rng)
@@ -330,7 +342,7 @@ def bench_engine(tiny: bool):
 
     group = os.environ.get("BENCH_ENGINE_GROUP", "0") == "1"
     eng = BatchedEngine(cfg, params, slots=slots, max_new_tokens=new,
-                        chunk=8, group_admission=group)
+                        chunk=8, group_admission=group, kv_quant=kvq)
     try:
         # deterministically warm every admission bucket's prefill compile
         # (padded power-of-2 groups), plus empty-state/insert/decode, so the

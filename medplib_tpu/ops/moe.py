@@ -255,35 +255,57 @@ def _gmm_moe(xs: jnp.ndarray, logits: jnp.ndarray, experts,
                                         sorted_expert.astype(jnp.int32),
                                         group_sizes, e, block_m)
 
-    def wmat(node):
-        # int8 nodes pass through natively (in-kernel epilogue dequant);
-        # int4h dequantizes to a one-layer bf16 copy outside
-        if "scale" in node and node["kernel"].dtype == jnp.int8:
-            return node["kernel"], node["scale"].astype(jnp.float32)
-        return dequant_kernel(node, dtype), None
+    from medplib_tpu.ops.pallas.gmm import gmm_int4h
 
-    wg, sg = wmat(experts["gate_proj"])
-    wu, su = wmat(experts["up_proj"])
-    wd, sd = wmat(experts["down_proj"])
+    def wspec(node):
+        # int8 nodes pass through natively (in-kernel epilogue dequant);
+        # int4h with per-half scales (groups=2, the flagship layout from
+        # quantize_flagship_moe) streams packed nibbles through gmm_int4h
+        # (0.5 byte/weight, in-register unpack); finer-grained int4h
+        # dequantizes to a one-layer bf16 copy outside
+        k = node["kernel"]
+        if "scale" in node and k.dtype == jnp.int8:
+            return "int8", k, node["scale"].astype(jnp.float32)
+        if ("scale4h" in node and node["scale4h"].shape[-3] == 2
+                and k.shape[-2] % 128 == 0):
+            return "int4h", k, node["scale4h"].astype(jnp.float32)
+        return "dense", dequant_kernel(node, dtype), None
+
+    specs = {n: wspec(experts[n])
+             for n in ("gate_proj", "up_proj", "down_proj")}
+
+    def mm(xin, spec):
+        kind, w, sc = spec
+        if kind == "dense":
+            return gmm(xin[0], w, tile_gid, block_m=block_m)
+        xq, xsc = xin[1]
+        if xq is not None:
+            # fused W8A8/W4A8: s8 x s8 dots with int32 VMEM accumulation
+            # and the (row x channel) rescale at the kernel epilogue — the
+            # int32 product never touches HBM (the structural loss that
+            # capped the XLA W8A8 composition at ~1.08x, README perf notes)
+            if kind == "int4h":
+                return gmm_int4h(xq, w, sc, tile_gid, a_scale=xsc,
+                                 block_m=block_m)
+            return gmm(xq, w, tile_gid, sc, a_scale=xsc, block_m=block_m)
+        if kind == "int4h":
+            return gmm_int4h(xin[0], w, sc, tile_gid, block_m=block_m)
+        return gmm(xin[0], w, tile_gid, sc, block_m=block_m)
 
     from medplib_tpu.utils.quantize import act_quant_enabled
-    if (act_quant_enabled() and sg is not None and su is not None
-            and sd is not None):
-        # fused W8A8: s8 x s8 dots with int32 VMEM accumulation and the
-        # (row x channel) rescale at the kernel epilogue — the int32
-        # product never touches HBM (the structural loss that capped the
-        # XLA W8A8 composition at ~1.08x, see README perf notes)
-        from medplib_tpu.ops.pallas.gmm import quantize_rows
-        xq, xsc = quantize_rows(x_al)
-        h1 = gmm(xq, wg, tile_gid, sg, a_scale=xsc, block_m=block_m)
-        h2 = gmm(xq, wu, tile_gid, su, a_scale=xsc, block_m=block_m)
-        aq, asc = quantize_rows(jax.nn.silu(h1) * h2)
-        out_al = gmm(aq, wd, tile_gid, sd, a_scale=asc, block_m=block_m)
-    else:
-        h1 = gmm(x_al, wg, tile_gid, sg, block_m=block_m)
-        h2 = gmm(x_al, wu, tile_gid, su, block_m=block_m)
-        out_al = gmm(jax.nn.silu(h1) * h2, wd, tile_gid, sd,
-                     block_m=block_m)
+    actq = act_quant_enabled() and all(
+        s[0] != "dense" for s in specs.values())
+
+    def xpair(xv):
+        if actq:
+            from medplib_tpu.ops.pallas.gmm import quantize_rows
+            return xv, quantize_rows(xv)
+        return xv, (None, None)
+
+    xin = xpair(x_al)
+    h1 = mm(xin, specs["gate_proj"])
+    h2 = mm(xin, specs["up_proj"])
+    out_al = mm(xpair(jax.nn.silu(h1) * h2), specs["down_proj"])
     y_sorted = out_al[dest] * gate_s[order][:, None].astype(out_al.dtype)
     y = jnp.zeros((s, h), dtype).at[order].set(y_sorted.astype(dtype))
     return y, aux

@@ -14,9 +14,14 @@ slower than even the padded path). Alignment waste here is at most
 E * (bm - 1) rows — for the flagship (E=2, bm=512) ~0.02% of a prefill.
 
 Weights: bf16/f32 [E, K, N], or int8 [E, K, N] + per-channel scale
-[E, 1, N] (dequant fused at the epilogue). The int4h layout dequantizes
-per layer OUTSIDE the kernel (a one-layer bf16 expert copy, ~360 MB
-transient at 7B — the FLOP savings dwarf its traffic).
+[E, 1, N] (dequant fused at the epilogue), or — via `gmm_int4h` — the
+int4 deinterleaved-halves layout [E, K/2, N] packed + per-half scales
+[E, 2, 1, N]: each packed block is read ONCE and dotted twice (low and
+high nibble unpacked in-register with arithmetic shifts), so expert HBM
+traffic is 0.5 byte/weight and residency half of int8's — what lets the
+full 32L x 2e flagship run at batch sizes int8 experts cannot fit.
+int4h stacks with finer-grained scales (G > 2) fall back to the
+per-layer outside-dequant bf16 path in ops/moe._gmm_moe.
 
 Used by ops/moe.moe_mlp(dispatch_mode="gmm"). Reference scope:
 deepspeed MoE inference path, medplib_moe_llama.py:602-614.
@@ -141,6 +146,146 @@ def gmm(x: jnp.ndarray, w: jnp.ndarray, tile_gid: jnp.ndarray,
         interpret=jax.default_backend() != "tpu",
     )(tile_gid, x, w, w_scale, a_scale)
     return out[:, :n]
+
+
+def _kernel_int4h(gid_ref, x_ref, p_ref, s_ref, as_ref, o_ref,
+                  acc_lo_ref, acc_hi_ref, *, n_kb: int, int8_x: bool):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_lo_ref[...] = jnp.zeros_like(acc_lo_ref)
+        acc_hi_ref[...] = jnp.zeros_like(acc_hi_ref)
+
+    p = p_ref[0]                                   # [bk, bn] packed nibbles
+    # arithmetic shifts sign-extend: low nibble = (p << 28) >> 28 and high
+    # = p >> 4, done in i32 — Mosaic has no i8 shift lowering
+    # (arith.shli on vector<..xi8> fails to legalize)
+    p32 = p.astype(jnp.int32)
+    w_lo = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(jnp.int8)
+    w_hi = jnp.right_shift(p32, 4).astype(jnp.int8)
+    x_lo, x_hi = x_ref[0], x_ref[1]                # [bm, bk] each half
+    if int8_x:                                      # W4A8 on the int8 MXU
+        acc_lo_ref[...] += jax.lax.dot(x_lo, w_lo,
+                                       preferred_element_type=jnp.int32)
+        acc_hi_ref[...] += jax.lax.dot(x_hi, w_hi,
+                                       preferred_element_type=jnp.int32)
+    else:
+        bf = jnp.bfloat16
+        acc_lo_ref[...] += jax.lax.dot(x_lo.astype(bf), w_lo.astype(bf),
+                                       preferred_element_type=jnp.float32)
+        acc_hi_ref[...] += jax.lax.dot(x_hi.astype(bf), w_hi.astype(bf),
+                                       preferred_element_type=jnp.float32)
+
+    @pl.when(kk == n_kb - 1)
+    def _fin():
+        # per-half (group x channel) scales at the epilogue — the int32/f32
+        # partial products never touch HBM
+        acc = (acc_lo_ref[...].astype(jnp.float32)
+               * s_ref[0, 0, 0].astype(jnp.float32)
+               + acc_hi_ref[...].astype(jnp.float32)
+               * s_ref[0, 1, 0].astype(jnp.float32))
+        if int8_x:
+            acc = acc * as_ref[...].astype(jnp.float32)   # [bm, 1] per-row
+        o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def gmm_int4h(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
+              tile_gid: jnp.ndarray, a_scale: jnp.ndarray | None = None,
+              block_m: int = 512, block_n: int = 512,
+              out_dtype=None) -> jnp.ndarray:
+    """Grouped matmul over int4 deinterleaved-halves expert weights.
+
+    x [Sp, K] group-aligned rows (int8 with a_scale [Sp, 1] for W4A8, else
+    float); packed [E, K/2, N] nibble-packed int8 (logical row r in the low
+    nibble of packed row r, row r + K/2 in its high nibble —
+    utils/quantize._quantize_kernel4h); scale [E, 2, 1, N] per-half
+    per-channel (groups=2); tile_gid [Sp // block_m]. Requires K/2 % 128 == 0
+    (lane alignment for the half blocks). -> [Sp, N].
+
+    The two logical x halves are pre-split into one stacked [2, Sp, K/2]
+    operand outside the kernel (one strided copy of x), so each grid step
+    DMAs a single [2, bm, bk] block: the packed weight block is read once
+    and dotted twice against it. Splitting also makes K/2 zero-padding
+    legal (padding the packed rows can no longer shift the half boundary),
+    so awkward K/2 like 5504 = 43x128 pad up to a large-block shape
+    instead of running 43 tiny accumulate steps."""
+    sp, k = x.shape
+    e, k2, n = packed.shape
+    assert 2 * k2 == k and scale.shape == (e, 2, 1, n)
+    assert k2 % 128 == 0, "int4h gmm needs K/2 lane-aligned (128)"
+    bm = block_m
+    bn = min(block_n, n)
+    assert sp % bm == 0 and tile_gid.shape == (sp // bm,)
+    int8_x = x.dtype == jnp.int8
+    if out_dtype is None:
+        out_dtype = jnp.bfloat16 if int8_x else x.dtype
+    if a_scale is None:
+        a_scale = jnp.ones((sp, 1), jnp.float32)
+
+    # one [2, Sp, k2] activation operand; zero-pad k2 when its divisor
+    # structure only allows tiny K blocks. The kernel holds the stacked x
+    # block + two accumulators in VMEM — cap bk by activation width (f32 x
+    # at bk=2048 measured 20 MB > the 16 MB scoped-vmem limit)
+    xs = jnp.stack([x[:, :k2], x[:, k2:]])
+    cap = max(512, 2048 // x.dtype.itemsize)
+    if k2 <= cap:
+        bk, k2_pad = k2, 0                  # single K block
+    else:
+        bk = _best_block(k2, cap)
+        if bk < cap:                        # only tiny divisors: pad up
+            bk, k2_pad = cap, -k2 % cap
+        else:
+            k2_pad = 0
+    if k2_pad:
+        xs = jnp.pad(xs, ((0, 0), (0, 0), (0, k2_pad)))
+        packed = jnp.pad(packed, ((0, 0), (0, k2_pad), (0, 0)))
+    n_kb = (k2 + k2_pad) // bk
+
+    n_pad = -n % bn
+    if n_pad:
+        packed = jnp.pad(packed, ((0, 0), (0, 0), (0, n_pad)))
+        scale = jnp.pad(scale, ((0, 0), (0, 0), (0, 0), (0, n_pad)))
+    np_ = n + n_pad
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(sp // bm, np_ // bn, n_kb),
+        in_specs=[
+            pl.BlockSpec((2, bm, bk), lambda i, j, kk, gid: (0, i, kk)),
+            pl.BlockSpec((1, bk, bn), lambda i, j, kk, gid: (gid[i], kk, j)),
+            pl.BlockSpec((1, 2, 1, bn),
+                         lambda i, j, kk, gid: (gid[i], 0, 0, j)),
+            pl.BlockSpec((bm, 1), lambda i, j, kk, gid: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk, gid: (i, j)),
+        scratch_shapes=[
+            pltpu.VMEM((bm, bn), jnp.int32 if int8_x else jnp.float32),
+            pltpu.VMEM((bm, bn), jnp.int32 if int8_x else jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_int4h, n_kb=n_kb, int8_x=int8_x),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((sp, np_), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * sp * np_ * k,
+            bytes_accessed=xs.size * xs.dtype.itemsize
+            + (sp // bm) * (k2 + k2_pad) * np_ + sp * np_ * 2,
+            transcendentals=0),
+        interpret=jax.default_backend() != "tpu",
+    )(tile_gid, xs, packed, scale, a_scale)
+    return out[:, :n]
+
+
+def _best_block(k2: int, cap: int = 2048) -> int:
+    """Largest lane-aligned block <= cap that divides k2."""
+    for mult in range(min(cap, k2) // 128, 0, -1):
+        if k2 % (128 * mult) == 0:
+            return 128 * mult
+    return k2
 
 
 def quantize_rows(x: jnp.ndarray):

@@ -156,7 +156,7 @@ def _quantize_kernel4h(kernel: jnp.ndarray, transposed: bool, groups: int):
 
 def quantize_tree(params: Any, skip: Sequence[str] = SKIP_MODULES,
                   bits: int = 8, block: int = 64,
-                  int4_scheme: str = "half") -> Any:
+                  int4_scheme: str = "half", int4_groups: int = 8) -> Any:
     """Replace eligible linear kernels with quantized pairs: bits=8 ->
     {"kernel": int8, "scale": f32}, bits=4 -> the matmul-fusible
     deinterleaved-halves layout {"kernel": packed int8, "scale4h": f32
@@ -185,9 +185,13 @@ def quantize_tree(params: Any, skip: Sequence[str] = SKIP_MODULES,
                     if bits == 4 and int4_scheme == "half":
                         # default 8 groups: K/8-element scale blocks (512
                         # for the 4096 attn kernels) — the accuracy knob
-                        # that keeps the unpack matmul-fusible
+                        # that keeps the unpack matmul-fusible.
+                        # int4_groups=2 (one scale per nibble half) is the
+                        # layout the Pallas gmm_int4h kernel consumes
+                        # in-register (ops/pallas/gmm.py)
                         q, scale = _quantize_kernel4h(jnp.asarray(k),
-                                                      transposed, 8)
+                                                      transposed,
+                                                      int4_groups)
                         node["kernel"] = q
                         node["scale4h"] = scale
                     elif bits == 4:
@@ -256,11 +260,18 @@ def quantize_flagship_moe(params: Any, expert_bits: int = 4,
     2/3 of the weights — go int4 (deinterleaved-halves fast layout), the
     attention/dense path int8. ~7 GB total on-chip for the LLM, which is
     what fits the 16 GB v5e alongside KV cache + towers at a useful batch.
-    Routers/norms/embeddings stay full precision (SKIP_MODULES)."""
+    Routers/norms/embeddings stay full precision (SKIP_MODULES).
+
+    int4 experts use per-HALF scales (int4_groups=2, one scale per nibble
+    half per output channel) — the layout the Pallas gmm_int4h kernel
+    streams in-register at prefill (ops/pallas/gmm.py). vs the default 8
+    groups this coarsens the absmax window ~4x along K, which moves the
+    quant step only ~10% for near-Gaussian weights (absmax grows like
+    sqrt(2 ln n)); the prefill-path win is structural."""
     moe = params["llm"]["layers"].get("moe")
     if moe is not None and expert_bits != attn_bits:
         moe["experts"] = quantize_tree(moe["experts"], skip=(),
-                                       bits=expert_bits)
+                                       bits=expert_bits, int4_groups=2)
     return quantize_tree(params, bits=attn_bits)
 
 

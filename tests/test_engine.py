@@ -328,3 +328,67 @@ def test_engine_prompt_buckets_and_cancel(tiny):
         assert len(got) <= 32, len(got)  # far short of the 64 budget
     finally:
         eng2.shutdown()
+
+
+def test_engine_kv_quant_matches_quantized_stream(tiny):
+    """int8 KV cache in the engine (kv_quant=True): requests reproduce the
+    single-stream path built on the SAME quantized cache token-for-token
+    (llama.KVCache quant; VERDICT r2 #7)."""
+    cfg, params, tok, cc = tiny
+    budget, chunk = 8, 4
+    batches = [_make_batch(cfg, tok, cc, p, seed=i)
+               for i, p in enumerate(PROMPTS[:3])]
+
+    def ref(batch):
+        state = medplib.stream_prefill(params, cfg, batch,
+                                       max_new_tokens=budget, kv_quant=True)
+        toks, steps = [], 0
+        while steps < budget:
+            state, ct, cd = medplib.stream_decode_chunk(
+                params, cfg, state, chunk=chunk, eos_id=2)
+            for t, d in zip(np.asarray(ct)[0], np.asarray(cd)[0]):
+                if not d and int(t) > 0 and len(toks) < budget:
+                    toks.append(int(t))
+            steps += chunk
+            if bool(np.asarray(cd)[0][-1]) or bool(np.asarray(state.done)[0]):
+                break
+        return toks
+
+    want = [ref(b) for b in batches]
+    eng = BatchedEngine(cfg, params, slots=2, max_new_tokens=budget,
+                        chunk=chunk, kv_quant=True)
+    try:
+        got = [r.tokens() for r in [eng.submit(b, temperature=0.0)
+                                    for b in batches]]
+        assert got == want
+    finally:
+        eng.shutdown()
+
+
+def test_engine_serves_moe_model(tiny):
+    """The engine serves the MoE composite (the flagship architecture)
+    unchanged: decode-sized batches route through the sort dispatch and
+    batched output matches the sequential stream."""
+    import dataclasses
+
+    from medplib_tpu.config import MoeConfig
+
+    cfg, _, tok, cc = tiny
+    cfg = dataclasses.replace(
+        cfg, moe=MoeConfig(enable=True, num_experts=2, top_k=1,
+                           capacity_factor=1.5, eval_capacity_factor=2.0,
+                           moe_mode="dense"))
+    params = medplib.init_medplib(jax.random.PRNGKey(3), cfg)
+    budget, chunk = 6, 3
+    batches = [_make_batch(cfg, tok, cc, p, seed=i)
+               for i, p in enumerate(PROMPTS[:3])]
+    want = [_reference_tokens(cfg, params, b, budget, chunk)[0]
+            for b in batches]
+    eng = BatchedEngine(cfg, params, slots=2, max_new_tokens=budget,
+                        chunk=chunk)
+    try:
+        got = [r.tokens() for r in [eng.submit(b, temperature=0.0)
+                                    for b in batches]]
+        assert got == want
+    finally:
+        eng.shutdown()

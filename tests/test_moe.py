@@ -457,3 +457,101 @@ def test_gmm_w8a8_dispatch():
             m, v, mcfg, train=False, dispatch_mode="gmm"))(mq, x)
     rel = float(jnp.linalg.norm(y_w - y_ref) / jnp.linalg.norm(y_ref))
     assert rel < 0.05, rel
+
+
+def test_gmm_int4h_kernel_matches_dequant():
+    """gmm_int4h (in-register nibble unpack, per-half scales) == the
+    materializing dequant matmul, per expert tile — incl. a K/2 whose only
+    lane-aligned block is 128 (the down_proj 5504 = 43x128 analog) and a
+    K/2 > 2048 that forces a multi-block accumulate loop."""
+    from medplib_tpu.ops.pallas.gmm import gmm_int4h
+    from medplib_tpu.utils.quantize import _quantize_kernel4h, dequant_int4h
+
+    for K, N in ((512, 256), (768, 128), (4608, 128)):
+        rng = jax.random.PRNGKey(K)
+        E = 2
+        w = jax.random.normal(rng, (E, K, N)) * K ** -0.5
+        packed, scale = _quantize_kernel4h(w, False, 2)
+        assert packed.shape == (E, K // 2, N)
+        assert scale.shape == (E, 2, 1, N)
+        x = jax.random.normal(jax.random.fold_in(rng, 1), (256, K),
+                              jnp.float32)
+        tile_gid = jnp.asarray([0, 1], jnp.int32)  # tile 0 -> e0, 1 -> e1
+        got = gmm_int4h(x, packed, scale, tile_gid, block_m=128,
+                        block_n=128)
+        wd = dequant_int4h(packed, scale, jnp.float32)
+        want = jnp.concatenate([x[:128] @ wd[0], x[128:] @ wd[1]])
+        # the kernel dots in bf16 (the MXU input dtype); nibbles are exact
+        # in bf16 so the only error is activation rounding
+        rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+        assert rel < 2e-3, (K, N, rel)
+        assert float(jnp.max(jnp.abs(got - want))) < 0.05, (K, N)
+
+
+def test_gmm_int4h_w4a8_kernel():
+    """W4A8 gmm_int4h: int8 activations x unpacked int4 nibbles, int32
+    VMEM accumulation, (row x half x channel) rescale at the epilogue."""
+    from medplib_tpu.ops.pallas.gmm import gmm_int4h, quantize_rows
+    from medplib_tpu.utils.quantize import _quantize_kernel4h, dequant_int4h
+
+    rng = jax.random.PRNGKey(3)
+    E, K, N = 2, 768, 256
+    w = jax.random.normal(rng, (E, K, N)) * K ** -0.5
+    packed, scale = _quantize_kernel4h(w, False, 2)
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (256, K), jnp.float32)
+    xq, xsc = quantize_rows(x)
+    tile_gid = jnp.asarray([0, 1], jnp.int32)
+    got = gmm_int4h(xq, packed, scale, tile_gid, a_scale=xsc, block_m=128,
+                    block_n=128)
+    wd = dequant_int4h(packed, scale, jnp.float32)
+    want = jnp.concatenate([x[:128] @ wd[0], x[128:] @ wd[1]])
+    rel = float(jnp.linalg.norm(got.astype(jnp.float32) - want)
+                / jnp.linalg.norm(want))
+    assert rel < 0.02, rel  # activation-quant noise only
+
+
+def test_gmm_int4h_dispatch():
+    """dispatch_mode='gmm' routes per-half int4h experts (the
+    quantize_flagship_moe layout) through the in-kernel nibble path — and
+    stays close to the fp32 sort dispatch, with and without W4A8."""
+    from medplib_tpu.config import MoeConfig
+    from medplib_tpu.ops.moe import moe_mlp
+    from medplib_tpu.utils.quantize import dynamic_act_quant, quantize_tree
+    rng = jax.random.PRNGKey(29)
+    E, H, M, B, T = 2, 256, 384, 8, 160
+    ks = jax.random.split(rng, 4)
+    mp = {
+        "router": {"kernel": jax.random.normal(ks[0], (H, E)) * H ** -0.5},
+        "experts": {
+            "gate_proj": {"kernel": jax.random.normal(ks[1], (E, H, M))
+                          * H ** -0.5},
+            "up_proj": {"kernel": jax.random.normal(ks[2], (E, H, M))
+                        * H ** -0.5},
+            "down_proj": {"kernel": jax.random.normal(ks[3], (E, M, H))
+                          * M ** -0.5},
+        },
+    }
+    x = jax.random.normal(jax.random.fold_in(rng, 5), (B, T, H))
+    mcfg = MoeConfig(enable=True, num_experts=E, top_k=1,
+                     eval_capacity_factor=2.0)
+    y_ref, _ = moe_mlp(mp, x, mcfg, train=False, dispatch_mode="sort")
+    mq = quantize_tree(jax.tree_util.tree_map(lambda a: a, mp), bits=4,
+                       int4_groups=2)
+    assert mq["experts"]["gate_proj"]["scale4h"].shape[-3] == 2
+    y_q, _ = moe_mlp(mq, x, mcfg, train=False, dispatch_mode="gmm")
+    rel = float(jnp.linalg.norm(y_q - y_ref) / jnp.linalg.norm(y_ref))
+    assert rel < 0.25, rel  # int4 per-half quant error at tiny dims
+    # the same tree through the (exact) sort dispatch pins down the kernel:
+    # gmm vs sort on IDENTICAL int4 weights must agree to bf16-dot
+    # tolerance (the sort path dots in f32, the kernel in bf16)
+    y_q_sort, _ = moe_mlp(mq, x, mcfg, train=False, dispatch_mode="sort")
+    rel_k = float(jnp.linalg.norm(y_q - y_q_sort)
+                  / jnp.linalg.norm(y_q_sort))
+    assert rel_k < 5e-3, rel_k
+    assert float(jnp.max(jnp.abs(y_q - y_q_sort))) < 0.05
+    with dynamic_act_quant(True):
+        y_w, _ = jax.jit(lambda m, v: moe_mlp(
+            m, v, mcfg, train=False, dispatch_mode="gmm"))(mq, x)
+    rel_w = float(jnp.linalg.norm(y_w - y_q_sort) /
+                  jnp.linalg.norm(y_q_sort))
+    assert rel_w < 0.05, rel_w
