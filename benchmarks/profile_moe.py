@@ -93,7 +93,18 @@ def bench(mode, B=8, T=633, reps=4, iters=3):
 
 if __name__ == "__main__":
     log(f"devices: {jax.devices()}")
+    # DECODE=1: decode shapes (T=1, high reps) — isolates per-step MoE
+    # weight traffic. Measured (B=12 T=1, v5e): sort8 1.76 ms/layer,
+    # sort4h 1.65 — and a "run both experts through the dense fused
+    # linears, select by gate" variant LOST to sort (1.95 / 1.73), so the
+    # stacked-einsum sort dispatch stays the decode path; the variant was
+    # dropped rather than shipped as a slower knob.
+    decode = os.environ.get("DECODE", "0") == "1"
     modes = sys.argv[1:] or ["dense", "sort", "ragged"]
     for m in modes:
-        bench(m)
+        if decode:
+            bench(m, B=int(os.environ.get("B", "12")), T=1, reps=32,
+                  iters=3)
+        else:
+            bench(m)
     log("done")
