@@ -149,8 +149,23 @@ def dense_mlp_layer(layer_params: Params, x: jnp.ndarray):
     return dense_mlp(layer_params["mlp"], x), jnp.zeros((), jnp.float32)
 
 
-def _qkv(p: Params, x: jnp.ndarray, cfg: LlamaConfig, cos, sin):
+def _qkv(p: Params, x: jnp.ndarray, cfg: LlamaConfig, cos, sin,
+         stacked: Optional[Params] = None, layer_idx=None):
     b, t, _ = x.shape
+    if stacked is not None:
+        # whole-stack layer-indexed W8A8 projections (ops/stacked.py): one
+        # shared activation-quant pass, three gmm calls addressed into the
+        # loop-invariant [L, out, in] stacks — no per-layer slice copies
+        from medplib_tpu.ops.stacked import (quantize_rows_padded,
+                                             stacked_w8a8_linear)
+        xq, xsc, rows = quantize_rows_padded(x.reshape(b * t, -1))
+        q = stacked_w8a8_linear(stacked["q_proj"], xq, xsc, layer_idx, rows)
+        k = stacked_w8a8_linear(stacked["k_proj"], xq, xsc, layer_idx, rows)
+        v = stacked_w8a8_linear(stacked["v_proj"], xq, xsc, layer_idx, rows)
+        q = q.reshape(b, t, cfg.num_heads, cfg.head_dim).astype(x.dtype)
+        k = k.reshape(b, t, cfg.num_kv_heads, cfg.head_dim).astype(x.dtype)
+        v = v.reshape(b, t, cfg.num_kv_heads, cfg.head_dim).astype(x.dtype)
+        return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
     if "qkv_proj" in p:  # inference-packed: one wide matmul (pack_inference)
         qp = p["qkv_proj"]
         if "scale" in qp and qp["kernel"].dtype == jnp.int8:
@@ -185,12 +200,21 @@ MlpApply = Callable[[Params, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
 def decoder_layer_prefill(
     p: Params, x: jnp.ndarray, cfg: LlamaConfig, cos, sin,
     attn_mask: Optional[jnp.ndarray], mlp_apply: MlpApply,
+    attn_stacked: Optional[Params] = None,
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    li = p.get("layer_idx") if attn_stacked is not None else None
     h = rms_norm(x, p["input_layernorm"]["weight"], cfg.rms_norm_eps)
-    q, k, v = _qkv(p["attn"], h, cfg, cos, sin)
+    q, k, v = _qkv(p["attn"], h, cfg, cos, sin, attn_stacked, li)
     attn = causal_attention(q, k, v, attn_mask)
     b, t = x.shape[:2]
-    x = x + lora_linear(p["attn"]["o_proj"], attn.reshape(b, t, -1))
+    if attn_stacked is not None:
+        from medplib_tpu.ops.stacked import (quantize_rows_padded,
+                                             stacked_w8a8_linear)
+        aq, asc, rows = quantize_rows_padded(attn.reshape(b * t, -1))
+        o = stacked_w8a8_linear(attn_stacked["o_proj"], aq, asc, li, rows)
+        x = x + o.reshape(b, t, -1).astype(x.dtype)
+    else:
+        x = x + lora_linear(p["attn"]["o_proj"], attn.reshape(b, t, -1))
     h = rms_norm(x, p["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
     y, aux = mlp_apply(p, h)
     return x + y, (k, v), aux
@@ -243,9 +267,30 @@ def forward(
         positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
+    # whole-stack layer-indexed W8A8 attention projections (ops/stacked.py):
+    # engages under dynamic_act_quant on int8 trees at prefill sizes. The
+    # stacks are then REMOVED from the scanned xs (their per-layer slices
+    # would otherwise be materialized to feed the pallas_call) and the
+    # layer index rides the scan instead.
+    from medplib_tpu.utils.quantize import act_quant_enabled
+    attn_stacked = None
+    layers_xs = params["layers"]
+    if not unroll and act_quant_enabled():
+        from medplib_tpu.ops.stacked import stack_attn_for_w8a8
+        attn_stacked = stack_attn_for_w8a8(layers_xs, b * t)
+    if attn_stacked is not None:
+        layers_xs = dict(layers_xs)
+        attn_xs = dict(layers_xs["attn"])
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            del attn_xs[name]
+        layers_xs["attn"] = attn_xs
+        layers_xs.setdefault("layer_idx",
+                             jnp.arange(cfg.num_layers, dtype=jnp.int32))
+
     def body(x, layer_p):
         x, kv, aux = decoder_layer_prefill(layer_p, x, cfg, cos, sin,
-                                           attn_mask, mlp_apply)
+                                           attn_mask, mlp_apply,
+                                           attn_stacked)
         return x, (kv, aux)
 
     if remat:
@@ -269,7 +314,7 @@ def forward(
         aux_loss = jnp.sum(jnp.stack(aux_l))
     else:
         x, ((ks, vs), aux_losses) = jax.lax.scan(body, input_embeds,
-                                                 params["layers"])
+                                                 layers_xs)
         aux_loss = jnp.sum(aux_losses)
     x = rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps)
 

@@ -98,15 +98,72 @@ def moe_flags(cfg: LlamaConfig, moe_cfg: MoeConfig) -> np.ndarray:
                        for i in range(cfg.num_layers)], np.int32)
 
 
+def stack_experts_for_gmm(experts: Params, moe_cfg: MoeConfig,
+                          s_tokens: int, train: bool,
+                          ep_shard: bool) -> Optional[Params]:
+    """Whole-stack layer-indexed expert view for the Pallas grouped matmul.
+
+    Returns the experts node with kernels reshaped [L, E, ...] ->
+    [L*E, ...] (a free view) when the gmm dispatch is EXACTLY equivalent
+    to the capacity semantics AND every node can stream through the
+    kernel without any internal padding copy, else None. mlp_apply then
+    passes this single loop-invariant operand plus a per-layer gid offset
+    to ops/moe.moe_mlp instead of letting lax.scan slice the expert
+    stacks per layer — a pallas_call operand produced by dynamic-slice is
+    otherwise MATERIALIZED every layer (270 MB/layer for the int8
+    flagship; also the HLO-temp pressure that kept batch 10 from
+    fitting). Shape preconditions come pre-satisfied by
+    utils/quantize.pad_moe_experts_for_gmm (M padded to 1024)."""
+    if train or ep_shard or moe_cfg.top_k != 1:
+        return None
+    from medplib_tpu.ops.moe import capacity_for
+    from medplib_tpu.ops.pallas.gmm import _pick_bk
+
+    e = moe_cfg.num_experts
+    cap = capacity_for(s_tokens, e, moe_cfg.eval_capacity_factor,
+                       moe_cfg.min_capacity)
+    if s_tokens < 1024 or cap < s_tokens:
+        return None
+    out = {}
+    for n in ("gate_proj", "up_proj", "down_proj"):
+        node = experts[n]
+        k = node["kernel"]
+        if getattr(k, "ndim", 0) != 4 or k.shape[1] != e:
+            return None
+        if "scale" in node and k.dtype == jnp.int8:
+            if _pick_bk(k.shape[-2])[1] != 0 or k.shape[-1] % 512 != 0:
+                return None  # would need an in-scan padding copy
+            sc = node["scale"]
+            out[n] = {"kernel": k.reshape((-1,) + k.shape[2:]),
+                      "scale": sc.reshape((-1,) + sc.shape[2:])}
+        elif ("scale4h" in node and node["scale4h"].shape[-3] == 2
+              and k.shape[-2] % 128 == 0 and k.shape[-1] % 512 == 0):
+            sc = node["scale4h"]
+            out[n] = {"kernel": k.reshape((-1,) + k.shape[2:]),
+                      "scale4h": sc.reshape((-1,) + sc.shape[2:])}
+        else:
+            return None  # bf16/int4-block: per-layer dequant path instead
+    return out
+
+
 def make_moe_mlp_apply(cfg: LlamaConfig, moe_cfg: MoeConfig,
-                       train: bool = True, ep_shard: bool = False):
+                       train: bool = True, ep_shard: bool = False,
+                       stacked_experts: Optional[Params] = None):
     """MlpApply closure for llama.forward / forward_decode."""
     flags = moe_flags(cfg, moe_cfg)
     all_moe = bool(np.all(np.asarray(flags) == 1))
 
     def apply(layer_p: Params, x: jnp.ndarray):
         def moe_branch(_):
-            return moe_mlp(layer_p["moe"], x, moe_cfg, train=train,
+            mp = layer_p["moe"]
+            if stacked_experts is not None:
+                mp = dict(mp)
+                mp["experts"] = stacked_experts
+                mp["gid_offset"] = (
+                    layer_p["layer_idx"] * moe_cfg.num_experts)
+                return moe_mlp(mp, x, moe_cfg, train=train,
+                               ep_shard=ep_shard, dispatch_mode="gmm")
+            return moe_mlp(mp, x, moe_cfg, train=train,
                            ep_shard=ep_shard)
 
         def dense_branch(_):
@@ -134,11 +191,34 @@ def _with_flags(params: Params, cfg: LlamaConfig, moe_cfg: MoeConfig) -> Params:
 def forward(params: Params, cfg: LlamaConfig, moe_cfg: MoeConfig,
             input_embeds, attn_mask=None, positions=None, cache=None,
             remat: bool = False, train: bool = True, ep_shard: bool = False,
-            unroll: bool = False):
-    """-> (hidden_post_norm, cache', router_aux_loss_sum)."""
+            unroll: bool = False, use_stacked_gmm: Optional[bool] = None):
+    """-> (hidden_post_norm, cache', router_aux_loss_sum).
+
+    use_stacked_gmm: None (auto — engage the whole-stack layer-indexed
+    gmm dispatch whenever stack_experts_for_gmm deems it exact and
+    pad-free), or force off (False) for A/Bs and tests."""
+    flags = moe_flags(cfg, moe_cfg)
+    stacked = None
+    if use_stacked_gmm is not False and bool(np.all(flags == 1)):
+        b, t = input_embeds.shape[:2]
+        stacked = stack_experts_for_gmm(
+            params["layers"]["moe"]["experts"], moe_cfg, b * t, train,
+            ep_shard)
     mlp_apply = make_moe_mlp_apply(cfg, moe_cfg, train=train,
-                                   ep_shard=ep_shard)
-    return llama.forward(_with_flags(params, cfg, moe_cfg), cfg, input_embeds,
+                                   ep_shard=ep_shard,
+                                   stacked_experts=stacked)
+    p = _with_flags(params, cfg, moe_cfg)
+    if stacked is not None:
+        # the expert stacks must NOT ride the scan as xs (that is the
+        # per-layer slice materialization this path removes); the layer
+        # index rides instead and addresses the whole-stack operand
+        layers = dict(p["layers"])
+        moe = dict(layers["moe"])
+        del moe["experts"]
+        layers["moe"] = moe
+        layers["layer_idx"] = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+        p["layers"] = layers
+    return llama.forward(p, cfg, input_embeds,
                          attn_mask, positions, mlp_apply, cache, remat,
                          unroll)
 

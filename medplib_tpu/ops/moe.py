@@ -224,14 +224,23 @@ def _ragged_moe(xs: jnp.ndarray, logits: jnp.ndarray, experts,
 
 
 def _gmm_moe(xs: jnp.ndarray, logits: jnp.ndarray, experts,
-             dtype, block_m: int = 512) -> tuple[jnp.ndarray, jnp.ndarray]:
+             dtype, block_m: int = 512,
+             gid_offset=None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Top-1 expert MLP via the Pallas grouped matmul (ops/pallas/gmm):
     expert-sorted tokens in a group-ALIGNED buffer, each m-tile dotted
     against exactly its expert's weights — ~S token-slots of FFN compute
     instead of the capacity dispatch's E*capacity (2S at eval cf 2.0).
     Exact-equivalent whenever capacity >= S (zero-drop; see _ragged_moe).
     jax.lax.ragged_dot measured 22 TF/s on v5e-axon — this kernel exists
-    because the stock lowering loses to even the padded path."""
+    because the stock lowering loses to even the padded path.
+
+    gid_offset (traced scalar or None): whole-stack layer indexing. The
+    expert nodes then hold ALL layers' weights ([L*E, K, N] kernels) and
+    the m-tile group ids address expert gid_offset + local. Inside the
+    layer scan this keeps the weight operand the SAME loop-invariant
+    buffer every iteration — the per-layer dynamic-slice that XLA must
+    otherwise materialize for a pallas_call operand (hundreds of MB/layer
+    of HBM copies, README round-2 perf notes) never happens."""
     from medplib_tpu.ops.pallas.gmm import align_groups, gmm
     from medplib_tpu.train.lora import dequant_kernel
 
@@ -254,6 +263,9 @@ def _gmm_moe(xs: jnp.ndarray, logits: jnp.ndarray, experts,
     x_al, dest, tile_gid = align_groups(xs[order], ranks,
                                         sorted_expert.astype(jnp.int32),
                                         group_sizes, e, block_m)
+    stacked = gid_offset is not None
+    if stacked:
+        tile_gid = tile_gid + jnp.asarray(gid_offset, jnp.int32)
 
     from medplib_tpu.ops.pallas.gmm import gmm_int4h
 
@@ -269,6 +281,7 @@ def _gmm_moe(xs: jnp.ndarray, logits: jnp.ndarray, experts,
         if ("scale4h" in node and node["scale4h"].shape[-3] == 2
                 and k.shape[-2] % 128 == 0):
             return "int4h", k, node["scale4h"].astype(jnp.float32)
+        assert not stacked, "whole-stack gmm requires int8/int4h(G=2) experts"
         return "dense", dequant_kernel(node, dtype), None
 
     specs = {n: wspec(experts[n])
@@ -276,6 +289,7 @@ def _gmm_moe(xs: jnp.ndarray, logits: jnp.ndarray, experts,
 
     def mm(xin, spec):
         kind, w, sc = spec
+        pad_ok = not stacked   # padding a whole-stack operand would copy it
         if kind == "dense":
             return gmm(xin[0], w, tile_gid, block_m=block_m)
         xq, xsc = xin[1]
@@ -286,11 +300,14 @@ def _gmm_moe(xs: jnp.ndarray, logits: jnp.ndarray, experts,
             # capped the XLA W8A8 composition at ~1.08x, README perf notes)
             if kind == "int4h":
                 return gmm_int4h(xq, w, sc, tile_gid, a_scale=xsc,
-                                 block_m=block_m)
-            return gmm(xq, w, tile_gid, sc, a_scale=xsc, block_m=block_m)
+                                 block_m=block_m, allow_pad=pad_ok)
+            return gmm(xq, w, tile_gid, sc, a_scale=xsc, block_m=block_m,
+                       allow_pad=pad_ok)
         if kind == "int4h":
-            return gmm_int4h(xin[0], w, sc, tile_gid, block_m=block_m)
-        return gmm(xin[0], w, tile_gid, sc, block_m=block_m)
+            return gmm_int4h(xin[0], w, sc, tile_gid, block_m=block_m,
+                             allow_pad=pad_ok)
+        return gmm(xin[0], w, tile_gid, sc, block_m=block_m,
+                   allow_pad=pad_ok)
 
     from medplib_tpu.utils.quantize import act_quant_enabled
     actq = act_quant_enabled() and all(
@@ -350,7 +367,8 @@ def moe_mlp(
         dispatch_mode = "gmm" if zero_drop and s >= 1024 else "sort"
 
     if dispatch_mode == "gmm":
-        y, aux = _gmm_moe(xs, logits, moe_params["experts"], x.dtype)
+        y, aux = _gmm_moe(xs, logits, moe_params["experts"], x.dtype,
+                          gid_offset=moe_params.get("gid_offset"))
         if "residual_mlp" in moe_params:
             y = _apply_residual(moe_params, xs, y, x.dtype)
         return y.reshape(b, t, h), aux

@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(gid_ref, x_ref, w_ref, s_ref, as_ref, o_ref, acc_ref,
-            *, n_kb: int, int8_w: bool, int8_x: bool):
+            *, n_kb: int, int8_w: bool, int8_x: bool, trans_w: bool):
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
@@ -46,17 +46,19 @@ def _kernel(gid_ref, x_ref, w_ref, s_ref, as_ref, o_ref, acc_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     x = x_ref[...]
-    w = w_ref[0]                       # [bk, bn] (leading expert dim is 1)
+    w = w_ref[0]    # [bk, bn], or [bn, bk] for transposed ("decode-major"
+    #                 [out, in] q/k/v storage — contracted on dim 1 of both)
+    dims = (((1,), (1,)), ((), ())) if trans_w else (((1,), (0,)), ((), ()))
     if int8_x:                          # W8A8: s8 x s8 -> s32 on the MXU,
-        acc_ref[...] += jax.lax.dot(    # accumulated in VMEM (never HBM)
-            x, w, preferred_element_type=jnp.int32)
+        acc_ref[...] += jax.lax.dot_general(  # accumulated in VMEM
+            x, w, dims, preferred_element_type=jnp.int32)
     elif int8_w:
-        acc_ref[...] += jax.lax.dot(
-            x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        acc_ref[...] += jax.lax.dot_general(
+            x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), dims,
             preferred_element_type=jnp.float32)
     else:
-        acc_ref[...] += jax.lax.dot(x, w,
-                                    preferred_element_type=jnp.float32)
+        acc_ref[...] += jax.lax.dot_general(
+            x, w, dims, preferred_element_type=jnp.float32)
 
     @pl.when(kk == n_kb - 1)
     def _fin():
@@ -87,21 +89,49 @@ def _pick_bk(k: int, cap: int = 2048):
 def gmm(x: jnp.ndarray, w: jnp.ndarray, tile_gid: jnp.ndarray,
         w_scale: jnp.ndarray | None = None,
         a_scale: jnp.ndarray | None = None, block_m: int = 512,
-        block_n: int = 512, out_dtype=None) -> jnp.ndarray:
+        block_n: int = 512, out_dtype=None,
+        allow_pad: bool = True, block_k: int | None = None,
+        transposed: bool = False) -> jnp.ndarray:
     """x [Sp, K] group-aligned rows; w [E, K, N] (+ optional int8 scale
     [E, 1, N]); tile_gid [Sp // block_m] int32 expert id per m-tile.
     With a_scale [Sp, 1], x must be int8 (W8A8: per-row activation scales
     applied at the epilogue). Sp must be a multiple of block_m.
-    -> [Sp, N]."""
+    -> [Sp, N].
+
+    transposed=True: w is [E, N, K] ("decode-major" [out, in] q/k/v
+    storage, models/llama.init_layer) contracted on its LAST axis —
+    w_scale stays channel-last [E, 1, N] (callers swap the stored
+    [.., N, 1] scale axes once outside). This is what lets the stacked
+    attention-projection path stream the stored stacks without a whole-
+    stack relayout copy.
+
+    allow_pad=False forbids the internal K/N zero-padding copies of `w`:
+    the whole-stack layer-indexed path (models/moe_llama) passes ALL
+    layers' experts as ONE [L*E, K, N] operand riding the layer scan —
+    padding that inside the scan would copy the full multi-GB stack every
+    layer, so those trees are stored pre-padded
+    (utils/quantize.pad_moe_experts_for_gmm) and a shape that would still
+    need padding is a caller bug."""
     sp, k = x.shape
-    e, _, n = w.shape
+    if transposed:
+        e, n, _ = w.shape
+    else:
+        e, _, n = w.shape
     assert sp % block_m == 0 and tile_gid.shape == (sp // block_m,)
     bm = block_m
     bn = min(block_n, n)
-    bk, k_pad = _pick_bk(k)
+    if block_k is not None and k % block_k == 0:
+        bk, k_pad = block_k, 0
+    else:
+        bk, k_pad = _pick_bk(k)
+    if not allow_pad and k_pad:
+        # never pad the (possibly whole-stack) weight operand: fall back
+        # to the largest dividing block even if it is small
+        bk, k_pad = _best_block(k), 0
     if k_pad:
         x = jnp.pad(x, ((0, 0), (0, k_pad)))
-        w = jnp.pad(w, ((0, 0), (0, k_pad), (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, k_pad)) if transposed
+                    else ((0, 0), (0, k_pad), (0, 0)))
     kp = k + k_pad
     int8_w = w.dtype == jnp.int8
     int8_x = x.dtype == jnp.int8
@@ -109,22 +139,31 @@ def gmm(x: jnp.ndarray, w: jnp.ndarray, tile_gid: jnp.ndarray,
         out_dtype = jnp.bfloat16 if int8_x else x.dtype
     if w_scale is None:
         w_scale = jnp.ones((e, 1, n), jnp.float32)
+    assert w_scale.shape == (e, 1, n), \
+        "w_scale must be channel-last [E, 1, N] (transposed callers swap)"
     if a_scale is None:
         a_scale = jnp.ones((sp, 1), jnp.float32)
 
     n_pad = -n % bn
+    assert allow_pad or n_pad == 0, \
+        f"no-pad gmm needs N % {bn} == 0, got N={n} (pre-pad the stack)"
     if n_pad:
-        w = jnp.pad(w, ((0, 0), (0, 0), (0, n_pad)))
+        w = jnp.pad(w, ((0, 0), (0, n_pad), (0, 0)) if transposed
+                    else ((0, 0), (0, 0), (0, n_pad)))
         w_scale = jnp.pad(w_scale, ((0, 0), (0, 0), (0, n_pad)))
     np_ = n + n_pad
     n_kb = kp // bk
 
+    if transposed:
+        w_spec = pl.BlockSpec((1, bn, bk), lambda i, j, kk, gid: (gid[i], j, kk))
+    else:
+        w_spec = pl.BlockSpec((1, bk, bn), lambda i, j, kk, gid: (gid[i], kk, j))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(sp // bm, np_ // bn, n_kb),
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, kk, gid: (i, kk)),
-            pl.BlockSpec((1, bk, bn), lambda i, j, kk, gid: (gid[i], kk, j)),
+            w_spec,
             pl.BlockSpec((1, 1, bn), lambda i, j, kk, gid: (gid[i], 0, j)),
             pl.BlockSpec((bm, 1), lambda i, j, kk, gid: (i, 0)),
         ],
@@ -133,7 +172,8 @@ def gmm(x: jnp.ndarray, w: jnp.ndarray, tile_gid: jnp.ndarray,
             (bm, bn), jnp.int32 if int8_x else jnp.float32)],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, n_kb=n_kb, int8_w=int8_w, int8_x=int8_x),
+        functools.partial(_kernel, n_kb=n_kb, int8_w=int8_w, int8_x=int8_x,
+                          trans_w=transposed),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((sp, np_), out_dtype),
         compiler_params=pltpu.CompilerParams(
@@ -193,7 +233,7 @@ def _kernel_int4h(gid_ref, x_ref, p_ref, s_ref, as_ref, o_ref,
 def gmm_int4h(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
               tile_gid: jnp.ndarray, a_scale: jnp.ndarray | None = None,
               block_m: int = 512, block_n: int = 512,
-              out_dtype=None) -> jnp.ndarray:
+              out_dtype=None, allow_pad: bool = True) -> jnp.ndarray:
     """Grouped matmul over int4 deinterleaved-halves expert weights.
 
     x [Sp, K] group-aligned rows (int8 with a_scale [Sp, 1] for W4A8, else
@@ -233,16 +273,18 @@ def gmm_int4h(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
         bk, k2_pad = k2, 0                  # single K block
     else:
         bk = _best_block(k2, cap)
-        if bk < cap:                        # only tiny divisors: pad up
+        if bk < cap and allow_pad:          # only tiny divisors: pad up
             bk, k2_pad = cap, -k2 % cap
-        else:
-            k2_pad = 0
+        else:                               # no-pad (whole-stack operand):
+            k2_pad = 0                      # keep the largest dividing block
     if k2_pad:
         xs = jnp.pad(xs, ((0, 0), (0, 0), (0, k2_pad)))
         packed = jnp.pad(packed, ((0, 0), (0, k2_pad), (0, 0)))
     n_kb = (k2 + k2_pad) // bk
 
     n_pad = -n % bn
+    assert allow_pad or n_pad == 0, \
+        f"no-pad gmm_int4h needs N % {bn} == 0, got N={n}"
     if n_pad:
         packed = jnp.pad(packed, ((0, 0), (0, 0), (0, n_pad)))
         scale = jnp.pad(scale, ((0, 0), (0, 0), (0, 0), (0, n_pad)))

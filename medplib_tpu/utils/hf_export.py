@@ -86,6 +86,14 @@ def moe_llama_to_hf(params: Mapping[str, Any], cfg: LlamaConfig,
     routers = _np(moe_p["router"]["kernel"])
     ek = {n: _np(moe_p["experts"][n]["kernel"])
           for n in ("gate_proj", "up_proj", "down_proj")}
+    # gmm-serving trees store M zero-padded to 1024 (utils/quantize.
+    # pad_moe_experts_for_gmm) — slice back to the architecture's M so the
+    # exported HF checkpoint has reference shapes
+    m = cfg.intermediate_size
+    if ek["gate_proj"].shape[-1] > m:
+        ek["gate_proj"] = ek["gate_proj"][..., :m]
+        ek["up_proj"] = ek["up_proj"][..., :m]
+        ek["down_proj"] = ek["down_proj"][..., :m, :]
     res = moe_p.get("residual_mlp")
     coef = moe_p.get("coefficient")
     for i in sorted(moe_set):

@@ -253,6 +253,32 @@ def dequantize_tree(params: Any, dtype=jnp.bfloat16) -> Any:
     return params
 
 
+def pad_moe_experts_for_gmm(experts: Any, align: int = 1024) -> Any:
+    """Zero-pad the expert FFN dim M up to `align` so the whole-stack
+    layer-indexed gmm dispatch (models/moe_llama.stack_experts_for_gmm)
+    never needs an internal padding copy of the multi-GB stack inside the
+    layer scan: gate/up [.., H, M] -> [.., H, M'], down [.., M, H] ->
+    [.., M', H]. EXACT: padded gate/up out-channels are zero so
+    silu(0)*0 = 0 flows into zero down-proj rows — every dispatch mode
+    (sort/einsum/gmm) computes identical outputs on the padded tree; the
+    pad is invisible outside the FFN (down_proj still maps back to H).
+    Must be applied to the float tree BEFORE quantization (int4h nibble
+    halves must split the padded K). Mutates and returns `experts`."""
+    m = experts["gate_proj"]["kernel"].shape[-1]
+    mp = -m % align
+    if mp == 0:
+        return experts
+    for n in ("gate_proj", "up_proj", "down_proj"):
+        node = experts[n]
+        assert not any(s in node for s in ("scale", "scale4", "scale4h")), \
+            "pad_moe_experts_for_gmm must run before quantization"
+        k = node["kernel"]
+        pads = [(0, 0)] * k.ndim
+        pads[-1 if n != "down_proj" else -2] = (0, mp)
+        node["kernel"] = jnp.pad(k, pads)
+    return experts
+
+
 def quantize_flagship_moe(params: Any, expert_bits: int = 4,
                           attn_bits: int = 8) -> Any:
     """Mixed-precision quantization for the full-depth MoE flagship
@@ -269,6 +295,10 @@ def quantize_flagship_moe(params: Any, expert_bits: int = 4,
     quant step only ~10% for near-Gaussian weights (absmax grows like
     sqrt(2 ln n)); the prefill-path win is structural."""
     moe = params["llm"]["layers"].get("moe")
+    if moe is not None:
+        # pre-pad M so the whole-stack gmm prefill path never copies the
+        # expert stacks inside the layer scan (pad_moe_experts_for_gmm)
+        moe["experts"] = pad_moe_experts_for_gmm(moe["experts"])
     if moe is not None and expert_bits != attn_bits:
         moe["experts"] = quantize_tree(moe["experts"], skip=(),
                                        bits=expert_bits, int4_groups=2)

@@ -150,3 +150,46 @@ def test_int8_kv_cache_generate_tokens(hf_pair):
     assert agree >= 0.8, (np.asarray(r_f.output_ids),
                           np.asarray(r_q.output_ids))
     assert r_q.pred_masks.shape == r_f.pred_masks.shape
+
+
+def test_stacked_w8a8_attention_prefill_parity():
+    """The whole-stack layer-indexed W8A8 attention path (ops/stacked.py,
+    engaged by llama.forward under dynamic_act_quant on eligible int8
+    trees) matches the weight-only XLA path within W8A8 quantization
+    tolerance, and the eligibility gate behaves."""
+    from medplib_tpu.ops.stacked import stack_attn_for_w8a8
+    from medplib_tpu.utils.quantize import dynamic_act_quant, quantize_tree
+
+    cfg = LlamaConfig(num_layers=2, hidden_size=1024, intermediate_size=512,
+                      num_heads=8, num_kv_heads=8, vocab_size=128,
+                      max_position_embeddings=1024)
+    params = llama.init_llama(jax.random.PRNGKey(0), cfg, jnp.float32)
+    params = quantize_tree(params)
+    B, T = 2, 512  # S = 1024: prefill-regime
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, cfg.hidden_size),
+                          jnp.float32) * 0.1
+
+    st = stack_attn_for_w8a8(params["layers"], B * T)
+    assert st is not None
+    assert st["q_proj"]["transposed"] and not st["o_proj"]["transposed"]
+    assert st["q_proj"]["scale"].shape == (2, 1, 1024)
+    # small prefills and non-int8 trees are ineligible
+    assert stack_attn_for_w8a8(params["layers"], 64) is None
+
+    y_ref, _, _ = llama.forward(params, cfg, x, train=False) \
+        if "train" in llama.forward.__code__.co_varnames else \
+        llama.forward(params, cfg, x)
+    with dynamic_act_quant(True):
+        y_stacked, _, _ = llama.forward(params, cfg, x)
+    rel = float(jnp.linalg.norm(y_stacked.astype(jnp.float32)
+                                - y_ref.astype(jnp.float32))
+                / (jnp.linalg.norm(y_ref.astype(jnp.float32)) + 1e-9))
+    assert rel < 0.05, rel
+
+    # decode is untouched by the stacked path: same program as before
+    bf = llama.init_llama(jax.random.PRNGKey(0), cfg, jnp.float32)
+    y_bf, _, _ = llama.forward(bf, cfg, x)
+    rel_q = float(jnp.linalg.norm(y_ref.astype(jnp.float32)
+                                  - y_bf.astype(jnp.float32))
+                  / (jnp.linalg.norm(y_bf.astype(jnp.float32)) + 1e-9))
+    assert rel < max(0.05, 3 * rel_q + 0.02), (rel, rel_q)

@@ -555,3 +555,109 @@ def test_gmm_int4h_dispatch():
     rel_w = float(jnp.linalg.norm(y_w - y_q_sort) /
                   jnp.linalg.norm(y_q_sort))
     assert rel_w < 0.05, rel_w
+
+
+def _stacked_test_tree(key, L, E, H, M, dtype=jnp.float32):
+    """MoE-llama param tree at whole-stack-gmm-eligible shapes."""
+    cfg = LlamaConfig(num_layers=L, hidden_size=H, intermediate_size=M,
+                      num_heads=8, num_kv_heads=8, vocab_size=128,
+                      max_position_embeddings=512)
+    mcfg = MoeConfig(enable=True, num_experts=E, top_k=1,
+                     eval_capacity_factor=2.0, moe_mode="dense")
+    params = moe_llama.init_moe_llama(key, cfg, mcfg, dtype)
+    params = moe_llama.strip_dense_mlp(params, cfg, mcfg)
+    return cfg, mcfg, params
+
+
+def test_stacked_gmm_forward_matches_sliced():
+    """The whole-stack layer-indexed gmm path (stack_experts_for_gmm +
+    gid_offset) computes the same forward as the per-layer-sliced gmm and
+    the sort dispatch — for int8 and int4h(G=2) expert trees — and
+    engages automatically at eligible shapes."""
+    from medplib_tpu.utils.quantize import quantize_tree
+    # H/M chosen so _pick_bk needs no padding and M % 512 == 0
+    L, E, H, M, B, T = 2, 2, 1024, 1536, 4, 256  # S = 1024
+    cfg, mcfg, params = _stacked_test_tree(jax.random.PRNGKey(3), L, E, H, M)
+    x = jax.random.normal(jax.random.PRNGKey(4), (B, T, H)) * 0.1
+
+    for bits, kw in ((8, {}), (4, {"int4_groups": 2})):
+        p = jax.tree_util.tree_map(lambda a: a, params)
+        p["layers"]["moe"]["experts"] = quantize_tree(
+            p["layers"]["moe"]["experts"], skip=(), bits=bits, **kw)
+        st = moe_llama.stack_experts_for_gmm(
+            p["layers"]["moe"]["experts"], mcfg, B * T, train=False,
+            ep_shard=False)
+        assert st is not None, f"bits={bits} should be stack-eligible"
+        assert st["gate_proj"]["kernel"].shape[0] == L * E
+
+        y_stacked, _, aux_st = moe_llama.forward(
+            p, cfg, mcfg, x, train=False)
+        y_sliced, _, aux_sl = moe_llama.forward(
+            p, cfg, mcfg, x, train=False, use_stacked_gmm=False)
+        np.testing.assert_allclose(np.asarray(y_stacked),
+                                   np.asarray(y_sliced),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(float(aux_st), float(aux_sl), rtol=1e-5)
+
+    # ineligible shapes fall back: S below the gmm threshold
+    st = moe_llama.stack_experts_for_gmm(
+        params["layers"]["moe"]["experts"], mcfg, 64, train=False,
+        ep_shard=False)
+    assert st is None
+    # float kernels (no quantization) are not whole-stack-eligible
+    st = moe_llama.stack_experts_for_gmm(
+        params["layers"]["moe"]["experts"], mcfg, B * T, train=False,
+        ep_shard=False)
+    assert st is None
+
+
+def test_pad_moe_experts_for_gmm_exact():
+    """M-padding (utils/quantize.pad_moe_experts_for_gmm) is invisible:
+    every dispatch computes identical outputs on the padded tree, and the
+    padded int8 tree becomes whole-stack eligible."""
+    from medplib_tpu.ops.moe import moe_mlp
+    from medplib_tpu.utils.quantize import (pad_moe_experts_for_gmm,
+                                            quantize_tree)
+    rng = jax.random.PRNGKey(11)
+    E, H, M, B, T = 2, 64, 96, 4, 8
+    ks = jax.random.split(rng, 4)
+    mp = {
+        "router": {"kernel": jax.random.normal(ks[0], (H, E)) * H ** -0.5},
+        "experts": {
+            "gate_proj": {"kernel": jax.random.normal(ks[1], (E, H, M))
+                          * H ** -0.5},
+            "up_proj": {"kernel": jax.random.normal(ks[2], (E, H, M))
+                        * H ** -0.5},
+            "down_proj": {"kernel": jax.random.normal(ks[3], (E, M, H))
+                          * M ** -0.5},
+        },
+    }
+    x = jax.random.normal(jax.random.fold_in(rng, 5), (B, T, H))
+    mcfg = MoeConfig(enable=True, num_experts=E, top_k=1,
+                     eval_capacity_factor=2.0)
+    y_ref, aux_ref = moe_mlp(mp, x, mcfg, train=False, dispatch_mode="sort")
+
+    padded = jax.tree_util.tree_map(lambda a: a, mp)
+    padded["experts"] = pad_moe_experts_for_gmm(padded["experts"], align=128)
+    g = padded["experts"]["gate_proj"]["kernel"]
+    assert g.shape[-1] == 128 and g.shape[:-1] == (E, H)
+    assert padded["experts"]["down_proj"]["kernel"].shape == (E, 128, H)
+    y_pad, aux_pad = moe_mlp(padded, x, mcfg, train=False,
+                             dispatch_mode="sort")
+    np.testing.assert_allclose(np.asarray(y_pad), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(aux_pad), float(aux_ref), rtol=1e-6)
+
+    # einsum dispatch agrees too
+    y_ein, _ = moe_mlp(padded, x, mcfg, train=False, dispatch_mode="einsum")
+    np.testing.assert_allclose(np.asarray(y_ein), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # quantization after padding refuses nothing; padding after
+    # quantization is a bug and asserts
+    quantize_tree(padded["experts"], skip=(), bits=8)
+    try:
+        pad_moe_experts_for_gmm(padded["experts"], align=256)
+        raise AssertionError("expected assert on post-quant padding")
+    except AssertionError as e:
+        assert "before quantization" in str(e)
