@@ -12,14 +12,16 @@ at roughly 30 tok/s for a LoRA-merged 7B in fp16, plus a sequential SAM
 encode+decode per sample — ~2.5 masks/s/GPU for a 10-token grounding answer.
 The north star in BASELINE.json is >=3x that per v5e chip.
 
-Default config = the production serving configuration: weight-only int8 LLM
-(utils/quantize.py, the framework's bitsandbytes-equivalent; per-channel
-scales, towers kept bf16; W8A8 dynamic activation quant on prefill) at
-batch 14 — 12.57 masks/s (5.03x). Overrides:
-BENCH_QUANT=bf16 BENCH_B=3 measures full-bf16; measured v5e ladder after the
-in-place KV-cache decode fix (models/llama.py forward_decode: the cache
-rides the layer-scan carry, killing an ~8 GB/step restack): int8 B=14 12.37,
-int8 B=12 12.03, int8 B=16 11.8 (now fits; was OOM). Pre-fix history: bf16 B=2 5.2, bf16
+Default config (round 3) = the FLAGSHIP: the model the reference actually
+ships — MedPLIB-7b-2e, 32 layers x 2 experts (~13B params), top-1 routing,
+eval capacity 2.0 — quantized int8 attention + int8 experts with the
+whole-stack Pallas gmm W8A8 expert dispatch at prefill and an int8 KV
+cache, batch 8: 11.13 masks/s (4.45x). BENCH_MOE=0 selects the dense
+LISA-style variant (weight-only int8 + XLA W8A8 prefill, batch 14 —
+12.57-12.62 masks/s, 5.0x; the per-model peak but not the shipped
+architecture). Ladder and A/B history in README "Performance"; measured
+v5e dense ladder after the in-place KV-cache decode fix: int8 B=14 12.37,
+int8 B=12 12.03, int8 B=16 11.8. Pre-fix history: bf16 B=2 5.2, bf16
 B=3 6.3 (B=4 OOM), int8 B=8 9.1, int8 B=12 9.3-9.6.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -96,10 +98,11 @@ def main():
     from medplib_tpu.models import medplib
 
     num_layers = 4 if SMALL else 32
-    # BENCH_MOE=1: the FULL MedPLIB-7b-2e flagship — 32 layers x 2 experts
-    # (~13B params), top-1 routing — quantized int8 attn + int4h experts so
-    # it fits the 16 GB chip (utils/quantize.quantize_flagship_moe)
-    moe = os.environ.get("BENCH_MOE", "0") == "1"
+    # DEFAULT: the FULL MedPLIB-7b-2e flagship — 32 layers x 2 experts
+    # (~13B params), top-1 routing — quantized so it fits the 16 GB chip
+    # (utils/quantize.quantize_flagship_moe). BENCH_MOE=0 for the dense
+    # LISA-style variant.
+    moe = os.environ.get("BENCH_MOE", "1") == "1"
     cfg = ge._flagship_cfg(num_layers=num_layers, moe=moe)
     rng = np.random.default_rng(0)
     log("init params..." + (" [MoE 2e]" if moe else ""))
@@ -167,6 +170,16 @@ def main():
     # quantizes activations (LLM.int8 8-bit matmul), and it measures 12.57
     # vs 12.41 weight-only at B=14. BENCH_ACTQ=0 opts out.
     actq = use_int8 and os.environ.get("BENCH_ACTQ", "1") == "1"
+    if actq and not moe and os.environ.get("MEDPLIB_STACK_MLP") == "1":
+        # zero-pad the dense FFN stacks (M 11008 -> 11264) so the opt-in
+        # whole-stack W8A8 gmm prefill engages pad-free (ops/stacked.
+        # stack_mlp_for_w8a8; measured 11.24 vs 12.62 default — kept as
+        # an A/B knob, see models/llama.forward); exact, int8-in-place
+        from medplib_tpu.utils import quantize as qz
+        params["llm"]["layers"]["mlp"] = qz.pad_dense_mlp_for_gmm(
+            params["llm"]["layers"]["mlp"])
+        jax.block_until_ready(params)
+        log("padded dense MLP stacks for gmm")
     # BENCH_KVQUANT=1: int8 KV cache with per-token-per-head scales — halves
     # cache HBM and decode's cache-read traffic (models/llama.KVCache).
     # Default ON for the MoE flagship (int8 experts need the headroom).
@@ -175,7 +188,12 @@ def main():
         lambda p, b: medplib.generate(p, cfg, b, max_new_tokens=max_new,
                                       unroll_layers=unroll, kv_quant=kvq))
 
-    if os.environ.get("BENCH_PHASES") == "1":
+    if os.environ.get("BENCH_PHASES") == "1" and moe:
+        # holding a live StreamState + a second compiled program alongside
+        # the int8 13B tree OOMs the 16 GB chip — measured RESOURCE_
+        # EXHAUSTED; use benchmarks/profile_moe.py for MoE phase splits
+        log("BENCH_PHASES unavailable for the MoE flagship (OOM); skipped")
+    elif os.environ.get("BENCH_PHASES") == "1":
         # phases always measure the default scan path; BENCH_UNROLL only
         # affects the headline program (unroll was measured slower and is
         # kept as a ladder knob, not a phase-diagnostic one)

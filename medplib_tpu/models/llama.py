@@ -17,6 +17,7 @@ reuses this exact block with an expert-parallel MLP.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -274,18 +275,49 @@ def forward(
     # layer index rides the scan instead.
     from medplib_tpu.utils.quantize import act_quant_enabled
     attn_stacked = None
+    mlp_stacked = None
     layers_xs = params["layers"]
     if not unroll and act_quant_enabled():
-        from medplib_tpu.ops.stacked import stack_attn_for_w8a8
-        attn_stacked = stack_attn_for_w8a8(layers_xs, b * t)
-    if attn_stacked is not None:
+        # OPT-IN (measured loss): at attention shapes (N=4096, 4 kernel
+        # launches + a quant pass per layer) the gmm formulation LOSES to
+        # the XLA weight-only composition end-to-end — MoE flagship B=8
+        # measured 8.20 masks/s with it vs 11.12 without (round 3). The
+        # FFN-shaped stacked paths (experts via ops/moe, dense MLP below)
+        # are where the s8xs8 win is real; keep this one as an A/B knob.
+        if os.environ.get("MEDPLIB_STACK_ATTN", "0") == "1":
+            from medplib_tpu.ops.stacked import stack_attn_for_w8a8
+            attn_stacked = stack_attn_for_w8a8(layers_xs, b * t)
+        # OPT-IN (measured loss): the dense-MLP gmm variant measured 11.24
+        # masks/s vs 12.62 for the XLA W8A8 composition at the headline
+        # config (round 3) — same composed-pipeline verdict as the
+        # attention stacks above. The expert gmm (ops/moe) is the one
+        # whole-stack path that wins: there XLA's alternative is the 2x-
+        # padded capacity dispatch, not a fused dense matmul.
+        if (mlp_apply is dense_mlp_layer
+                and os.environ.get("MEDPLIB_STACK_MLP", "0") == "1"):
+            from medplib_tpu.ops.stacked import stack_mlp_for_w8a8
+            mlp_stacked = stack_mlp_for_w8a8(layers_xs, b * t)
+    if attn_stacked is not None or mlp_stacked is not None:
         layers_xs = dict(layers_xs)
-        attn_xs = dict(layers_xs["attn"])
-        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
-            del attn_xs[name]
-        layers_xs["attn"] = attn_xs
+        if attn_stacked is not None:
+            attn_xs = dict(layers_xs["attn"])
+            for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+                del attn_xs[name]
+            layers_xs["attn"] = attn_xs
+        if mlp_stacked is not None:
+            mlp_xs = dict(layers_xs["mlp"])
+            for name in ("gate_proj", "up_proj", "down_proj"):
+                del mlp_xs[name]
+            layers_xs["mlp"] = mlp_xs
         layers_xs.setdefault("layer_idx",
                              jnp.arange(cfg.num_layers, dtype=jnp.int32))
+
+    if mlp_stacked is not None:
+        from medplib_tpu.ops.stacked import stacked_dense_mlp
+
+        def mlp_apply(layer_p, h, _stacks=mlp_stacked):  # noqa: F811
+            return (stacked_dense_mlp(_stacks, h, layer_p["layer_idx"]),
+                    jnp.zeros((), jnp.float32))
 
     def body(x, layer_p):
         x, kv, aux = decoder_layer_prefill(layer_p, x, cfg, cos, sin,

@@ -21,6 +21,7 @@ expert 1 from the stage-2 VQA checkpoint (medplib_moe_llama.py:536-561) — is
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -199,6 +200,9 @@ def forward(params: Params, cfg: LlamaConfig, moe_cfg: MoeConfig,
     pad-free), or force off (False) for A/Bs and tests."""
     flags = moe_flags(cfg, moe_cfg)
     stacked = None
+    if use_stacked_gmm is None and \
+            os.environ.get("MEDPLIB_STACK_MOE", "1") != "1":
+        use_stacked_gmm = False   # diagnostic A/B kill-switch
     if use_stacked_gmm is not False and bool(np.all(flags == 1)):
         b, t = input_embeds.shape[:2]
         stacked = stack_experts_for_gmm(

@@ -403,6 +403,14 @@ def moe_mlp(
         if "scale4h" in node and node["kernel"].ndim == 3:
             from medplib_tpu.utils.quantize import int4h_expert_einsum
             return int4h_expert_einsum(xin, node["kernel"], node["scale4h"])
+        # int8: dequant-first einsum. Two "obvious" improvements were
+        # measured SLOWER end-to-end on the flagship (round-3 A/B, B=8
+        # full-depth generate): post-dot per-channel rescale 10.50
+        # masks/s, per-expert 2D dots (statically unrolled, convert
+        # fused into the operand read) 9.37 — vs 11.12 for this
+        # formulation, even though the isolated 1-layer profile
+        # (profile_moe DECODE=1) preferred them. Inside the real decode
+        # scan XLA schedules the dequant-first batch-dot best; keep it.
         return jnp.einsum("ech,ehm->ecm", xin,
                           dequant_kernel(node, x.dtype))
 

@@ -1,4 +1,4 @@
-"""Whole-stack layer-indexed W8A8 linears for the prefill scan.
+"""Whole-stack layer-indexed W8A8 linears for the prefill scan (OPT-IN).
 
 The round-2 perf note (README) identified the structural losses that kept
 W8A8 prefill at ~1.08x inside `lax.scan`: (a) the XLA composition
@@ -9,9 +9,21 @@ stacks ([L, out, in] / [L, in, out] int8, exactly as stored) are passed
 WHOLE into ops/pallas/gmm with the layer index as the per-tile group id —
 the weight operand is the same loop-invariant buffer every scan step, only
 its blocks are DMA'd, the s8 x s8 product accumulates in VMEM, and the
-(row x channel) rescale runs at the kernel epilogue. Measured standalone
-at flagship shapes: 260 TOPS vs the 183 TF/s bf16 dot it replaces
-(benchmarks/profile_gmm.py).
+(row x channel) rescale runs at the kernel epilogue.
+
+MEASURED OUTCOME (round 3, end-to-end on v5e): standalone the kernel hits
+260 TOPS vs the 183 TF/s bf16 dot (benchmarks/profile_gmm.py), but the
+COMPOSED pipeline loses with it — MoE flagship 8.20 masks/s with stacked
+attention vs 11.12 without; dense headline 11.24 with the stacked MLP vs
+12.62 on the XLA W8A8 composition. The per-layer kernel launches, the
+extra activation-quant passes, and the elementwise traffic XLA can no
+longer fuse across the pallas_call boundaries (silu(g)*u, residual adds)
+eat more than the s8xs8 rate gain. Both paths are therefore OPT-IN A/B
+knobs (MEDPLIB_STACK_ATTN=1 / MEDPLIB_STACK_MLP=1 in models/llama.py);
+the one whole-stack formulation that WINS — and ships default-on — is
+the MoE expert dispatch (models/moe_llama.stack_experts_for_gmm), where
+XLA's alternative is the 2x-padded capacity dispatch rather than a fused
+dense matmul.
 
 Engages at prefill only, under utils/quantize.dynamic_act_quant — decode
 stays on the weight-only XLA path (memory-bound; already at the
@@ -71,6 +83,72 @@ def stack_attn_for_w8a8(layers: Params, s_tokens: int) -> Optional[Params]:
             sc = jnp.swapaxes(sc, -1, -2)
         out[n] = {"kernel": k, "scale": sc, "transposed": trans}
     return out
+
+
+_MLP_PROJ = ("gate_proj", "up_proj", "down_proj")
+
+
+def stack_mlp_for_w8a8(layers: Params, s_tokens: int) -> Optional[Params]:
+    """Whole-stack view of the dense SwiGLU projection stacks, or None.
+
+    Same eligibility contract as stack_attn_for_w8a8 (weight-only int8
+    stacks, no live LoRA, prefill-sized S). The FFN dim must already be
+    gmm-pad-free: utils/quantize.pad_dense_mlp_for_gmm zero-pads M
+    (11008 -> 11264) ONCE at serving-prep time, so the [L, H, M'] /
+    [L, M', H] stacks stream through the kernel with no in-scan padding
+    copy. Unpadded trees (M % 512 != 0) simply stay on the XLA
+    weight-only path. Reference scope: the bitsandbytes LLM.int8 matmul
+    applied to the MLP, /root/reference/chat.py:101-112."""
+    if s_tokens < 1024:
+        return None
+    mlp = layers.get("mlp")
+    if not isinstance(mlp, dict) or not all(n in mlp for n in _MLP_PROJ):
+        return None
+    out = {}
+    for n in _MLP_PROJ:
+        node = mlp[n]
+        if not isinstance(node, dict):
+            return None
+        k = node.get("kernel")
+        if ("scale" not in node or "lora_a" in node
+                or getattr(k, "dtype", None) != jnp.int8
+                or getattr(k, "ndim", 0) != 3):
+            return None
+        k_in, n_out = k.shape[-2], k.shape[-1]   # [L, in, out] storage
+        if not _gmm_shape_ok(n_out, k_in):
+            return None
+        out[n] = {"kernel": k, "scale": node["scale"].astype(jnp.float32),
+                  "transposed": False}
+    return out
+
+
+def stacked_dense_mlp(stacks: Params, x: jnp.ndarray, layer_idx,
+                      block_m: int = 512) -> jnp.ndarray:
+    """Dense SwiGLU MLP via whole-stack layer-indexed W8A8 gmm.
+
+    One activation-quant pass feeds gate and up; the silu(g)*u
+    intermediate is re-quantized per row (zero-padded M columns are
+    exactly zero — silu(0)*0 — and feed zero down-proj rows, so the
+    storage pad never changes the result); all three matmuls accumulate
+    s8 x s8 in VMEM with the (row x channel) rescale at the kernel
+    epilogue. x [B, T, H] -> [B, T, H] in x.dtype."""
+    from medplib_tpu.ops.pallas.gmm import gmm, quantize_rows
+    b, t, hdim = x.shape
+    xq, xsc, rows = quantize_rows_padded(x.reshape(b * t, hdim), block_m)
+    sp = xq.shape[0]
+    gid = jnp.full((sp // block_m,), jnp.asarray(layer_idx, jnp.int32),
+                   jnp.int32)
+
+    def mm(name, aq, asc):
+        node = stacks[name]
+        return gmm(aq, node["kernel"], gid, node["scale"], a_scale=asc,
+                   block_m=block_m, allow_pad=False)
+
+    g = mm("gate_proj", xq, xsc)
+    u = mm("up_proj", xq, xsc)
+    aq, asc = quantize_rows(jax.nn.silu(g) * u)
+    y = mm("down_proj", aq, asc)
+    return y[:rows].reshape(b, t, hdim).astype(x.dtype)
 
 
 def quantize_rows_padded(x2d: jnp.ndarray, block_m: int = 512):

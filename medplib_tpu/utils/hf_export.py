@@ -60,10 +60,14 @@ def llama_to_hf(params: Mapping[str, Any], cfg: LlamaConfig,
             attn["o_proj"]["kernel"])[i].T
         if "mlp" in layers:
             # absent when every layer is MoE and the dead dense stack was
-            # stripped (models/moe_llama.strip_dense_mlp)
+            # stripped (models/moe_llama.strip_dense_mlp). gmm-serving
+            # trees store M zero-padded (utils/quantize.
+            # pad_dense_mlp_for_gmm) — slice back to reference shapes.
+            m = cfg.intermediate_size
             for n in ("gate_proj", "up_proj", "down_proj"):
-                sd[p + f"mlp.{n}.weight"] = _np(
-                    layers["mlp"][n]["kernel"])[i].T
+                w = _np(layers["mlp"][n]["kernel"])[i]
+                w = w[:, :m] if n != "down_proj" else w[:m, :]
+                sd[p + f"mlp.{n}.weight"] = w.T
     return sd
 
 

@@ -279,6 +279,37 @@ def pad_moe_experts_for_gmm(experts: Any, align: int = 1024) -> Any:
     return experts
 
 
+def pad_dense_mlp_for_gmm(mlp: Any, align: int = 1024) -> Any:
+    """Dense-path sibling of pad_moe_experts_for_gmm: zero-pad the dense
+    SwiGLU FFN dim M (gate/up [L, H, M] -> [L, H, M'], down [L, M, H] ->
+    [L, M', H]) so the whole-stack layer-indexed W8A8 prefill
+    (ops/stacked.stack_mlp_for_w8a8) streams the stacks pad-free. EXACT
+    for the same reason (zero out-channels -> silu(0)*0 = 0 -> zero
+    down-proj rows). Unlike the expert variant this may also run AFTER
+    int8 quantization: the int8 kernel and its per-channel `scale` pad
+    together (padded channels carry zero scales), which avoids holding a
+    padded bf16 copy of the 7B MLP stacks on a 16 GB chip. int4 layouts
+    must still pad before quantization. Mutates and returns `mlp`."""
+    m = mlp["gate_proj"]["kernel"].shape[-1]
+    mp = -m % align
+    if mp == 0:
+        return mlp
+    for n in ("gate_proj", "up_proj", "down_proj"):
+        node = mlp[n]
+        assert not any(s in node for s in ("scale4", "scale4h")), \
+            "int4 layouts must be padded before quantization"
+        k = node["kernel"]
+        pads = [(0, 0)] * k.ndim
+        pads[-1 if n != "down_proj" else -2] = (0, mp)
+        node["kernel"] = jnp.pad(k, pads)
+        if "scale" in node and n != "down_proj":
+            # per-out-channel scale [L, 1, M] tracks the padded out axis;
+            # down_proj's pad is on its IN axis — scale [L, 1, H] unchanged
+            node["scale"] = jnp.pad(node["scale"], ((0, 0),) * (
+                node["scale"].ndim - 1) + ((0, mp),))
+    return mlp
+
+
 def quantize_flagship_moe(params: Any, expert_bits: int = 4,
                           attn_bits: int = 8) -> Any:
     """Mixed-precision quantization for the full-depth MoE flagship

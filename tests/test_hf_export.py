@@ -88,6 +88,21 @@ def test_llama_hf_roundtrip():
     _assert_sd_equal(hf_export.llama_to_hf(tree, cfg), sd)
 
 
+def test_llama_hf_roundtrip_gmm_padded_mlp():
+    """A gmm-serving tree with the dense FFN zero-padded (utils/quantize.
+    pad_dense_mlp_for_gmm) exports with REFERENCE shapes: llama_to_hf
+    slices M back to cfg.intermediate_size."""
+    from medplib_tpu.utils.quantize import pad_dense_mlp_for_gmm
+    cfg = LlamaConfig.tiny()
+    sd = _dense_llama_sd(cfg, np.random.default_rng(2))
+    tree = hf_weights.llama_from_hf(sd, cfg)
+    tree["layers"]["mlp"] = pad_dense_mlp_for_gmm(
+        tree["layers"]["mlp"], align=cfg.intermediate_size + 8)
+    assert tree["layers"]["mlp"]["gate_proj"]["kernel"].shape[-1] \
+        == cfg.intermediate_size + 8
+    _assert_sd_equal(hf_export.llama_to_hf(tree, cfg), sd)
+
+
 def test_moe_residual_hf_roundtrip():
     cfg = LlamaConfig.tiny()
     sd = _moe_llama_sd(cfg, np.random.default_rng(1))

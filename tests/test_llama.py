@@ -152,11 +152,13 @@ def test_int8_kv_cache_generate_tokens(hf_pair):
     assert r_q.pred_masks.shape == r_f.pred_masks.shape
 
 
-def test_stacked_w8a8_attention_prefill_parity():
-    """The whole-stack layer-indexed W8A8 attention path (ops/stacked.py,
-    engaged by llama.forward under dynamic_act_quant on eligible int8
-    trees) matches the weight-only XLA path within W8A8 quantization
-    tolerance, and the eligibility gate behaves."""
+def test_stacked_w8a8_attention_prefill_parity(monkeypatch):
+    """The whole-stack layer-indexed W8A8 attention path (ops/stacked.py;
+    OPT-IN via MEDPLIB_STACK_ATTN=1 — measured slower than the XLA
+    weight-only composition end-to-end at attention shapes, see
+    llama.forward) matches the weight-only XLA path within W8A8
+    quantization tolerance, and the eligibility gate behaves."""
+    monkeypatch.setenv("MEDPLIB_STACK_ATTN", "1")
     from medplib_tpu.ops.stacked import stack_attn_for_w8a8
     from medplib_tpu.utils.quantize import dynamic_act_quant, quantize_tree
 
@@ -193,3 +195,52 @@ def test_stacked_w8a8_attention_prefill_parity():
                                   - y_bf.astype(jnp.float32))
                   / (jnp.linalg.norm(y_bf.astype(jnp.float32)) + 1e-9))
     assert rel < max(0.05, 3 * rel_q + 0.02), (rel, rel_q)
+
+
+def test_stacked_w8a8_dense_mlp_prefill_parity(monkeypatch):
+    """The whole-stack layer-indexed W8A8 dense-MLP path (ops/stacked.
+    stack_mlp_for_w8a8; OPT-IN via MEDPLIB_STACK_MLP=1 — measured slower
+    than the XLA W8A8 composition end-to-end, see llama.forward): the
+    pad_dense_mlp_for_gmm storage pad is exact on the weight-only path,
+    the eligibility gate behaves (unpadded M / small prefill -> None),
+    and the stacked forward matches weight-only within W8A8 tolerance."""
+    monkeypatch.setenv("MEDPLIB_STACK_MLP", "1")
+    from medplib_tpu.ops.stacked import stack_mlp_for_w8a8
+    from medplib_tpu.utils.quantize import (dynamic_act_quant,
+                                            pad_dense_mlp_for_gmm,
+                                            quantize_tree)
+
+    cfg = LlamaConfig(num_layers=2, hidden_size=1024, intermediate_size=576,
+                      num_heads=8, num_kv_heads=8, vocab_size=128,
+                      max_position_embeddings=1024)
+    params = llama.init_llama(jax.random.PRNGKey(0), cfg, jnp.float32)
+    params = quantize_tree(params)
+    B, T = 2, 512
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, cfg.hidden_size),
+                          jnp.float32) * 0.1
+
+    # unpadded M=576 is gmm-ineligible: the XLA path serves it unchanged
+    assert stack_mlp_for_w8a8(params["layers"], B * T) is None
+    y_ref, _, _ = llama.forward(params, cfg, x)
+
+    # int8-in-place pad 576 -> 1024: weight-only output is IDENTICAL
+    params["layers"]["mlp"] = pad_dense_mlp_for_gmm(params["layers"]["mlp"])
+    assert params["layers"]["mlp"]["gate_proj"]["kernel"].shape == \
+        (2, 1024, 1024)
+    assert params["layers"]["mlp"]["gate_proj"]["scale"].shape[-1] == 1024
+    assert params["layers"]["mlp"]["down_proj"]["scale"].shape[-1] == 1024
+    y_pad, _, _ = llama.forward(params, cfg, x)
+    np.testing.assert_allclose(np.asarray(y_pad, np.float32),
+                               np.asarray(y_ref, np.float32),
+                               rtol=1e-5, atol=1e-5)
+
+    st = stack_mlp_for_w8a8(params["layers"], B * T)
+    assert st is not None and not st["down_proj"]["transposed"]
+    assert stack_mlp_for_w8a8(params["layers"], 64) is None
+
+    with dynamic_act_quant(True):
+        y_stacked, _, _ = llama.forward(params, cfg, x)
+    rel = float(jnp.linalg.norm(y_stacked.astype(jnp.float32)
+                                - y_ref.astype(jnp.float32))
+                / (jnp.linalg.norm(y_ref.astype(jnp.float32)) + 1e-9))
+    assert rel < 0.05, rel
