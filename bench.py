@@ -14,12 +14,13 @@ The north star in BASELINE.json is >=3x that per v5e chip.
 
 Default config (round 3) = the FLAGSHIP: the model the reference actually
 ships — MedPLIB-7b-2e, 32 layers x 2 experts (~13B params), top-1 routing,
-eval capacity 2.0 — quantized int8 attention + int8 experts with the
-whole-stack Pallas gmm W8A8 expert dispatch at prefill and an int8 KV
-cache, batch 8: 11.13 masks/s (4.45x). BENCH_MOE=0 selects the dense
-LISA-style variant (weight-only int8 + XLA W8A8 prefill, batch 14 —
-12.57-12.62 masks/s, 5.0x; the per-model peak but not the shipped
-architecture). Ladder and A/B history in README "Performance"; measured
+eval capacity 2.0 — quantized int8 attention + int4h experts (the halved
+expert residency buys batch 16) with the whole-stack Pallas gmm_int4h
+W4A8 expert dispatch at prefill and an int8 KV cache: 12.15-12.49 masks/s
+(~4.9x). BENCH_MOE_EXPERT_BITS=8 selects int8 experts (finer scales,
+B=8 — 11.13, 4.45x). BENCH_MOE=0 selects the dense LISA-style variant
+(weight-only int8 + XLA W8A8 prefill, batch 14 — 12.57-12.62 masks/s,
+5.0x; the dense-model peak, not the shipped architecture). Ladder and A/B history in README "Performance"; measured
 v5e dense ladder after the in-place KV-cache decode fix: int8 B=14 12.37,
 int8 B=12 12.03, int8 B=16 11.8. Pre-fix history: bf16 B=2 5.2, bf16
 B=3 6.3 (B=4 OOM), int8 B=8 9.1, int8 B=12 9.3-9.6.
@@ -113,11 +114,16 @@ def main():
     # stacks (8.6 GB each) are ever materialized in HBM — only the final
     # int8/int4 tree comes out.
     if moe:
-        # BENCH_MOE_EXPERT_BITS=4 for the int4h capacity layout (~4.3 GB
-        # experts); default 8 feeds the fused W8A8 grouped-matmul prefill
+        # DEFAULT expert layout: int4h (deinterleaved nibble pairs,
+        # per-half scales — ~4.3 GB experts instead of 8.6) streamed
+        # through the fused W4A8 gmm_int4h. The halved expert residency
+        # buys batch 16 (int8 experts cap at 8), which is worth more than
+        # int8's finer scales are: measured 12.15-12.49 masks/s vs 11.13.
+        # BENCH_MOE_EXPERT_BITS=8 selects the accuracy-conservative int8
+        # expert variant (W8A8 gmm prefill, B=8).
         params = ge._init_flagship_moe_quantized(
             jax.random.PRNGKey(0), cfg,
-            expert_bits=int(os.environ.get("BENCH_MOE_EXPERT_BITS", "8")))
+            expert_bits=int(os.environ.get("BENCH_MOE_EXPERT_BITS", "4")))
     else:
         params = jax.jit(
             lambda k: medplib.init_medplib(k, cfg, jnp.bfloat16)
@@ -155,7 +161,9 @@ def main():
     # default batch tracks the precision: int8 fits B=12, bf16 tops out at 3
     # (7B params + KV cache in 16G HBM, see docstring ladder)
     if moe:
-        B = int(os.environ.get("BENCH_B", "8"))
+        # int4h experts fit B=16 (B=18 OOMs); int8 experts cap at B=8
+        eb4 = os.environ.get("BENCH_MOE_EXPERT_BITS", "4") == "4"
+        B = int(os.environ.get("BENCH_B", "16" if eb4 else "8"))
     else:
         B = int(os.environ.get(
             "BENCH_B", {"int8": "14", "int4": "12"}.get(quant, "3")))

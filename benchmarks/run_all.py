@@ -314,10 +314,21 @@ def bench_engine(tiny: bool):
     import __graft_entry__ as ge
     from medplib_tpu.serve.engine import BatchedEngine
 
+    moe_eng = os.environ.get("BENCH_ENGINE_MOE", "0") == "1" and not tiny
     if tiny:
         cfg = _cfg(True, 2)
         params = _params(cfg, jnp.float32)
         slots, n_req, new, T = 2, 4, 8, 16
+    elif moe_eng:
+        # BENCH_ENGINE_MOE=1: serve the SHIPPED flagship (32L x 2 experts)
+        # through the continuous-batching engine — int8 attn + int4h
+        # experts (the capacity layout), int8 KV for slot headroom
+        cfg = ge._flagship_cfg(num_layers=32, moe=True)
+        params = ge._init_flagship_moe_quantized(jax.random.PRNGKey(0), cfg,
+                                                 expert_bits=4)
+        slots, n_req, new, T = 8, 16, 32, 48
+        slots = int(os.environ.get("BENCH_ENGINE_SLOTS", slots))
+        n_req = max(n_req, 2 * slots)
     else:
         cfg = _cfg(False, 32)
         params = _params(cfg, jnp.bfloat16)
@@ -331,7 +342,8 @@ def bench_engine(tiny: bool):
         n_req = max(n_req, 2 * slots)
 
     rng = np.random.default_rng(0)
-    kvq = os.environ.get("BENCH_ENGINE_KVQ", "0") == "1" and not tiny
+    kvq = (os.environ.get("BENCH_ENGINE_KVQ", "1" if moe_eng else "0")
+           == "1" and not tiny)
 
     def mk_batch(i):
         b = ge._make_batch(cfg, B=1, T=T, rng=rng)
