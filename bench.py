@@ -123,7 +123,8 @@ def main():
         # expert variant (W8A8 gmm prefill, B=8).
         params = ge._init_flagship_moe_quantized(
             jax.random.PRNGKey(0), cfg,
-            expert_bits=int(os.environ.get("BENCH_MOE_EXPERT_BITS", "4")))
+            expert_bits=int(os.environ.get("BENCH_MOE_EXPERT_BITS", "4")),
+            attn_bits=int(os.environ.get("BENCH_MOE_ATTN_BITS", "8")))
     else:
         params = jax.jit(
             lambda k: medplib.init_medplib(k, cfg, jnp.bfloat16)
