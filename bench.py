@@ -16,11 +16,11 @@ Default config (round 3) = the FLAGSHIP: the model the reference actually
 ships — MedPLIB-7b-2e, 32 layers x 2 experts (~13B params), top-1 routing,
 eval capacity 2.0 — quantized int8 attention + int4h experts (the halved
 expert residency buys batch 16) with the whole-stack Pallas gmm_int4h
-W4A8 expert dispatch at prefill and an int8 KV cache: 12.15-12.49 masks/s
-(~4.9x). BENCH_MOE_EXPERT_BITS=8 selects int8 experts (finer scales,
-B=8 — 11.13, 4.45x). BENCH_MOE=0 selects the dense LISA-style variant
-(weight-only int8 + XLA W8A8 prefill, batch 14 — 12.57-12.62 masks/s,
-5.0x; the dense-model peak, not the shipped architecture). Ladder and A/B history in README "Performance"; measured
+W4A8 expert dispatch at prefill: 12.49-12.58 masks/s (~5.0x).
+BENCH_MOE_EXPERT_BITS=8 selects int8 experts (finer scales, B=8 + int8
+KV — 11.13, 4.45x). BENCH_MOE=0 selects the dense LISA-style variant
+(weight-only int8 + XLA W8A8 prefill, batch 16 — 16.03 masks/s, 6.4x;
+the dense-model peak, not the shipped architecture). Ladder and A/B history in README "Performance"; measured
 v5e dense ladder after the in-place KV-cache decode fix: int8 B=14 12.37,
 int8 B=12 12.03, int8 B=16 11.8. Pre-fix history: bf16 B=2 5.2, bf16
 B=3 6.3 (B=4 OOM), int8 B=8 9.1, int8 B=12 9.3-9.6.
@@ -166,8 +166,13 @@ def main():
         eb4 = os.environ.get("BENCH_MOE_EXPERT_BITS", "4") == "4"
         B = int(os.environ.get("BENCH_B", "16" if eb4 else "8"))
     else:
+        # int8 default rides the batch-16 sweet spot: 16.03 masks/s (and
+        # 15.5-15.8 with int8 KV) vs 12.6 at B=14 — the pow-2 batch's
+        # layouts, not cache traffic, are the lever (B=14 kvq 12.09,
+        # B=18 kvq 12.63, B=20 OOMs). The round-2 "B=16 11.8" row is
+        # stale: the current composed program does not reproduce it.
         B = int(os.environ.get(
-            "BENCH_B", {"int8": "14", "int4": "12"}.get(quant, "3")))
+            "BENCH_B", {"int8": "16", "int4": "12"}.get(quant, "3")))
     T_in = 48  # prompt tokens incl. <image> sentinel (splices to ~623)
     max_new = 10  # typical grounding answer: "It is <SEG>." + stop
     batch = ge._make_batch(cfg, B=B, T=T_in, rng=rng)
@@ -191,8 +196,15 @@ def main():
         log("padded dense MLP stacks for gmm")
     # BENCH_KVQUANT=1: int8 KV cache with per-token-per-head scales — halves
     # cache HBM and decode's cache-read traffic (models/llama.KVCache).
-    # Default ON for the MoE flagship (int8 experts need the headroom).
-    kvq = os.environ.get("BENCH_KVQUANT", "1" if moe else "0") == "1"
+    # Default ON only for the int8-EXPERT flagship (8.6 GB experts leave
+    # no room for a bf16 cache at B=8). Whenever the bf16 cache fits, kvq
+    # measures within-noise-to-slightly-slower (dense B=16: 15.45-16.03
+    # without vs 15.52-15.82 with; int4h flagship B=16: 12.58 vs
+    # 12.15-12.49), so it stays a capacity feature, not a speed default.
+    kvq = os.environ.get(
+        "BENCH_KVQUANT",
+        "1" if (moe and os.environ.get("BENCH_MOE_EXPERT_BITS", "4") == "8")
+        else "0") == "1"
     gen = jax.jit(
         lambda p, b: medplib.generate(p, cfg, b, max_new_tokens=max_new,
                                       unroll_layers=unroll, kv_quant=kvq))
