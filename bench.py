@@ -174,7 +174,9 @@ def main():
         B = int(os.environ.get(
             "BENCH_B", {"int8": "16", "int4": "12"}.get(quant, "3")))
     T_in = 48  # prompt tokens incl. <image> sentinel (splices to ~623)
-    max_new = 10  # typical grounding answer: "It is <SEG>." + stop
+    # typical grounding answer: "It is <SEG>." + stop. BENCH_MAXNEW=1
+    # isolates prefill+ground (diagnostic: decode share by subtraction)
+    max_new = int(os.environ.get("BENCH_MAXNEW", "10"))
     batch = ge._make_batch(cfg, B=B, T=T_in, rng=rng)
 
     unroll = os.environ.get("BENCH_UNROLL", "0") == "1"
