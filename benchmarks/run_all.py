@@ -168,16 +168,25 @@ def bench_region(tiny: bool):
 
 
 def bench_seg(tiny: bool):
-    """Config 4: pixel grounding (the flagship bench.py metric)."""
+    """Config 4: pixel grounding — the dense serving config (int8
+    weight-only + W8A8 prefill at the B=16 sweet spot, `BENCH_MOE=0
+    python bench.py` equivalent; bench.py's DEFAULT covers the MoE
+    flagship variant of this metric)."""
     from medplib_tpu.models import medplib
+    from medplib_tpu.utils.quantize import dynamic_act_quant
     cfg = _cfg(tiny, 32)
     params = _params(cfg, jnp.float32 if tiny else jnp.bfloat16)
-    B, T, new = (2, 16, 4) if tiny else (2, 48, 10)
+    if not tiny:
+        from medplib_tpu.utils import quantize as qz
+        params = qz.quantize_tree(params)
+        jax.block_until_ready(params)
+    B, T, new = (2, 16, 4) if tiny else (16, 48, 10)
     import __graft_entry__ as ge
     batch = ge._make_batch(cfg, B=B, T=T, rng=np.random.default_rng(0))
     gen = jax.jit(lambda p, b: medplib.generate(p, cfg, b,
                                                 max_new_tokens=new))
-    dt = _timed(gen, params, batch)
+    with dynamic_act_quant(not tiny):   # trace-time flag (W8A8 prefill)
+        dt = _timed(gen, params, batch)
     _report(4, "pixel_grounding", B / dt, "masks/s")
 
 
