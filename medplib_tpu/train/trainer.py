@@ -14,6 +14,7 @@ train_ds_medplib.py:383-700) as a pjit/GSPMD loop:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Callable, Dict, Iterator, NamedTuple, Optional
 
@@ -102,17 +103,53 @@ def make_train_step(cfg: MedplibConfig, tcfg: TrainConfig, tx,
                                                  metrics)
             return (grads_acc, metrics_acc), None
 
-        zeros = [jnp.zeros(p.shape, jnp.float32) for p in train_lv]
-        batch0 = jax.tree_util.tree_map(lambda x: x[0], batches)
-        m0 = jax.eval_shape(lambda t, b: loss_from_train(t, b, step_key)[1],
-                            train_lv, batch0)
-        metric_zeros = jax.tree_util.tree_map(
-            lambda _: jnp.zeros((), jnp.float32), m0)
-        (grads_lv, metrics), _ = jax.lax.scan(
-            micro, (zeros, metric_zeros),
-            (batches, jnp.arange(ga, dtype=jnp.uint32)))
-        grads_lv = [g / ga for g in grads_lv]
-        metrics = jax.tree_util.tree_map(lambda m: m / ga, metrics)
+        if ga == 1 and not os.environ.get("MEDPLIB_TRAIN_FORCE_SCAN"):
+            # A degenerate length-1 scan is NOT free: measured 3.2-10 s/step
+            # vs 150 ms for the direct call at the same 8L QLoRA config
+            # (benchmarks/profile_step.py full vs full_noscan) — the scan's
+            # loop-invariant capture of the frozen base re-stages GBs per
+            # execution on this backend. Single microbatch -> call directly.
+            batch0 = jax.tree_util.tree_map(lambda x: x[0], batches)
+            grads_lv, metrics = grad_fn(
+                train_lv, batch0,
+                jax.random.fold_in(step_key, jnp.uint32(0)))
+        elif not os.environ.get("MEDPLIB_TRAIN_FORCE_SCAN") and (
+                os.environ.get("MEDPLIB_TRAIN_UNROLL_GA")
+                or ga <= int(os.environ.get("MEDPLIB_TRAIN_UNROLL_MAX",
+                                            "8"))):
+            # UNROLLED accumulation is the default for small ga: the scanned
+            # accumulator measured 42.0 s/step at ga=4 (8L QLoRA, B=2/T=48)
+            # vs 445 ms unrolled — each scan iteration re-stages the
+            # loop-invariant frozen base (~10.5 s/iteration on this
+            # backend), while the unrolled program keeps it resident.
+            # Compile time grows with ga (147 s at ga=4), so large ga falls
+            # back to the scan; MEDPLIB_TRAIN_UNROLL_MAX moves the cutover
+            # and MEDPLIB_TRAIN_FORCE_SCAN forces the scan for A/Bs.
+            grads_lv, metrics = None, None
+            for i in range(ga):
+                mb = jax.tree_util.tree_map(lambda x, i=i: x[i], batches)
+                g, m = grad_fn(train_lv, mb,
+                               jax.random.fold_in(step_key, jnp.uint32(i)))
+                if grads_lv is None:
+                    grads_lv, metrics = list(g), m
+                else:
+                    grads_lv = [jnp.add(a, b) for a, b in zip(grads_lv, g)]
+                    metrics = jax.tree_util.tree_map(jnp.add, metrics, m)
+            grads_lv = [g / ga for g in grads_lv]
+            metrics = jax.tree_util.tree_map(lambda v: v / ga, metrics)
+        else:
+            zeros = [jnp.zeros(p.shape, jnp.float32) for p in train_lv]
+            batch0 = jax.tree_util.tree_map(lambda x: x[0], batches)
+            m0 = jax.eval_shape(
+                lambda t, b: loss_from_train(t, b, step_key)[1],
+                train_lv, batch0)
+            metric_zeros = jax.tree_util.tree_map(
+                lambda _: jnp.zeros((), jnp.float32), m0)
+            (grads_lv, metrics), _ = jax.lax.scan(
+                micro, (zeros, metric_zeros),
+                (batches, jnp.arange(ga, dtype=jnp.uint32)))
+            grads_lv = [g / ga for g in grads_lv]
+            metrics = jax.tree_util.tree_map(lambda m: m / ga, metrics)
 
         # full-tree grads for optax: scalar-zero placeholders at frozen
         # positions (optax.masked ignores them; apply_updates adds 0)

@@ -252,3 +252,72 @@ def test_qlora_train_step_int8_base(tmp_path):
     assert np.abs(np.asarray(
         state.params["llm"]["layers"]["attn"]["q_proj"]["lora_b"])).sum() > 0
     assert losses[-1] < losses[0], losses
+
+
+def test_ga1_direct_path_matches_forced_scan(monkeypatch):
+    """ga=1 skips the length-1 lax.scan (measured 20x+ step-time pathology,
+    benchmarks/profile_step.py); the direct program must be numerically
+    identical to the scanned one — same dropout keys, same update."""
+    cfg, params = _tiny()
+    params["llm"] = lora.inject(jax.random.PRNGKey(1), params["llm"],
+                                ("q_proj", "v_proj"), r=2)
+    tcfg = TrainConfig(lr=1e-3, warmup_steps=1, total_steps=10,
+                       grad_accumulation_steps=1)
+    batches = _batch(cfg, ga=1)
+
+    def run(force_scan):
+        if force_scan:
+            monkeypatch.setenv("MEDPLIB_TRAIN_FORCE_SCAN", "1")
+        else:
+            monkeypatch.delenv("MEDPLIB_TRAIN_FORCE_SCAN", raising=False)
+        state, tx = create_state(params, tcfg)
+        step = jax.jit(make_train_step(cfg, tcfg, tx))
+        state, m1 = step(state, batches)
+        state, m2 = step(state, batches)
+        return state, m1, m2
+
+    s_direct, d1, d2 = run(False)
+    s_scan, c1, c2 = run(True)
+    for k in d2:
+        np.testing.assert_allclose(float(d1[k]), float(c1[k]), rtol=1e-5,
+                                   err_msg=k)
+        np.testing.assert_allclose(float(d2[k]), float(c2[k]), rtol=1e-5,
+                                   err_msg=k)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-5),
+        s_direct.params, s_scan.params)
+
+
+def test_ga_unroll_matches_scan(monkeypatch):
+    """The unrolled ga>1 accumulator (default for small ga) must match the
+    scanned accumulator (MEDPLIB_TRAIN_FORCE_SCAN) step-for-step."""
+    cfg, params = _tiny()
+    tcfg = TrainConfig(lr=1e-3, warmup_steps=1, total_steps=10,
+                       grad_accumulation_steps=2, lora_enable=False,
+                       lora_dropout=0.0)
+    b0 = _batch(cfg, ga=0, seed=0)
+    b1 = _batch(cfg, ga=0, seed=3)
+    batches = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b]), b0, b1)
+
+    def run(unroll):
+        monkeypatch.delenv("MEDPLIB_TRAIN_UNROLL_GA", raising=False)
+        if unroll:
+            monkeypatch.delenv("MEDPLIB_TRAIN_FORCE_SCAN", raising=False)
+        else:
+            monkeypatch.setenv("MEDPLIB_TRAIN_FORCE_SCAN", "1")
+        state, tx = create_state(params, tcfg)
+        step = jax.jit(make_train_step(cfg, tcfg, tx))
+        state, m = step(state, batches)
+        return state, m
+
+    s_u, m_u = run(True)
+    s_s, m_s = run(False)
+    for k in m_u:
+        np.testing.assert_allclose(float(m_u[k]), float(m_s[k]), rtol=1e-5,
+                                   err_msg=k)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-5),
+        s_u.params, s_s.params)
