@@ -147,7 +147,7 @@ def main():
     if moe:
         # already quantized inside the init jit
         use_int8 = True
-        eb = os.environ.get("BENCH_MOE_EXPERT_BITS", "8")
+        eb = os.environ.get("BENCH_MOE_EXPERT_BITS", "4")
         log(f"quantized flagship MoE (int8 attn + int{eb}"
             f"{'h' if eb == '4' else ''} experts)")
     elif quant in ("int8", "int4"):

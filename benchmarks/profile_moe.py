@@ -106,5 +106,5 @@ if __name__ == "__main__":
             bench(m, B=int(os.environ.get("B", "12")), T=1, reps=32,
                   iters=3)
         else:
-            bench(m)
+            bench(m, B=int(os.environ.get("B", "8")))
     log("done")

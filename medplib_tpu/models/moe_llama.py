@@ -101,7 +101,8 @@ def moe_flags(cfg: LlamaConfig, moe_cfg: MoeConfig) -> np.ndarray:
 
 def stack_experts_for_gmm(experts: Params, moe_cfg: MoeConfig,
                           s_tokens: int, train: bool,
-                          ep_shard: bool) -> Optional[Params]:
+                          ep_shard: bool,
+                          decode: bool = False) -> Optional[Params]:
     """Whole-stack layer-indexed expert view for the Pallas grouped matmul.
 
     Returns the experts node with kernels reshaped [L, E, ...] ->
@@ -123,8 +124,10 @@ def stack_experts_for_gmm(experts: Params, moe_cfg: MoeConfig,
     e = moe_cfg.num_experts
     cap = capacity_for(s_tokens, e, moe_cfg.eval_capacity_factor,
                        moe_cfg.min_capacity)
-    if s_tokens < 1024 or cap < s_tokens:
-        return None
+    if cap < s_tokens:
+        return None   # sort could drop tokens: gmm would not be equivalent
+    if s_tokens < 1024 and not decode:
+        return None   # prefill heuristic: sort wins at small S (profile_moe)
     out = {}
     for n in ("gate_proj", "up_proj", "down_proj"):
         node = experts[n]
@@ -149,7 +152,8 @@ def stack_experts_for_gmm(experts: Params, moe_cfg: MoeConfig,
 
 def make_moe_mlp_apply(cfg: LlamaConfig, moe_cfg: MoeConfig,
                        train: bool = True, ep_shard: bool = False,
-                       stacked_experts: Optional[Params] = None):
+                       stacked_experts: Optional[Params] = None,
+                       gmm_block_m: Optional[int] = None):
     """MlpApply closure for llama.forward / forward_decode."""
     flags = moe_flags(cfg, moe_cfg)
     all_moe = bool(np.all(np.asarray(flags) == 1))
@@ -162,6 +166,8 @@ def make_moe_mlp_apply(cfg: LlamaConfig, moe_cfg: MoeConfig,
                 mp["experts"] = stacked_experts
                 mp["gid_offset"] = (
                     layer_p["layer_idx"] * moe_cfg.num_experts)
+                if gmm_block_m is not None:
+                    mp["gmm_block_m"] = gmm_block_m
                 return moe_mlp(mp, x, moe_cfg, train=train,
                                ep_shard=ep_shard, dispatch_mode="gmm")
             return moe_mlp(mp, x, moe_cfg, train=train,
@@ -230,10 +236,35 @@ def forward(params: Params, cfg: LlamaConfig, moe_cfg: MoeConfig,
 def forward_decode(params: Params, cfg: LlamaConfig, moe_cfg: MoeConfig,
                    input_embeds, cache, ep_shard: bool = False,
                    unroll: bool = False):
+    """Decode step. MEDPLIB_DECODE_GMM=1 routes the per-step expert MLP
+    through the whole-stack Pallas gmm at a tiny m-tile (block_m=32)
+    instead of the capacity-sort einsum: the sort path's expert contraction
+    measured ~1.65 ms/layer at decode shapes vs a ~0.17 ms/layer int4h
+    weight-traffic roofline (the dequantized expert tensors do not stay
+    fused), while gmm streams the packed nibbles. Same zero-drop
+    equivalence conditions as prefill (stack_experts_for_gmm)."""
+    flags = moe_flags(cfg, moe_cfg)
+    stacked = None
+    if (os.environ.get("MEDPLIB_DECODE_GMM", "0") == "1"
+            and bool(np.all(flags == 1))):
+        b = input_embeds.shape[0]
+        stacked = stack_experts_for_gmm(
+            params["layers"]["moe"]["experts"], moe_cfg, b, train=False,
+            ep_shard=ep_shard, decode=True)
     mlp_apply = make_moe_mlp_apply(cfg, moe_cfg, train=False,
-                                   ep_shard=ep_shard)
-    return llama.forward_decode(_with_flags(params, cfg, moe_cfg), cfg,
-                                input_embeds, cache, mlp_apply, unroll)
+                                   ep_shard=ep_shard,
+                                   stacked_experts=stacked,
+                                   gmm_block_m=32 if stacked else None)
+    p = _with_flags(params, cfg, moe_cfg)
+    if stacked is not None:
+        layers = dict(p["layers"])
+        moe = dict(layers["moe"])
+        del moe["experts"]
+        layers["moe"] = moe
+        layers["layer_idx"] = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+        p["layers"] = layers
+    return llama.forward_decode(p, cfg, input_embeds, cache, mlp_apply,
+                                unroll)
 
 
 def build_experts_from_donors(donor_mlp_stacks) -> Params:

@@ -368,6 +368,7 @@ def moe_mlp(
 
     if dispatch_mode == "gmm":
         y, aux = _gmm_moe(xs, logits, moe_params["experts"], x.dtype,
+                          block_m=moe_params.get("gmm_block_m", 512),
                           gid_offset=moe_params.get("gid_offset"))
         if "residual_mlp" in moe_params:
             y = _apply_residual(moe_params, xs, y, x.dtype)

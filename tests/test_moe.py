@@ -661,3 +661,45 @@ def test_pad_moe_experts_for_gmm_exact():
         raise AssertionError("expected assert on post-quant padding")
     except AssertionError as e:
         assert "before quantization" in str(e)
+
+
+def test_decode_gmm_matches_sort(monkeypatch):
+    """MEDPLIB_DECODE_GMM=1 routes the decode-step expert MLP through the
+    whole-stack gmm at block_m=32 (models/moe_llama.forward_decode); output
+    must match the default capacity-sort decode for int8 and int4h trees."""
+    from medplib_tpu.utils.quantize import quantize_tree
+    L, E, H, M, B, T, MAX = 2, 2, 1024, 1536, 4, 5, 8
+    cfg, mcfg, params = _stacked_test_tree(jax.random.PRNGKey(7), L, E, H, M)
+    rng = np.random.default_rng(9)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(B, T)))
+
+    for bits, kw in ((8, {}), (4, {"int4_groups": 2})):
+        p = jax.tree_util.tree_map(lambda a: a, params)
+        p["layers"]["moe"]["experts"] = quantize_tree(
+            p["layers"]["moe"]["experts"], skip=(), bits=bits, **kw)
+        embeds = llama.embed(p, ids)
+
+        def decode_last(pp):
+            cache = llama.KVCache.init(cfg, B, MAX, dtype=jnp.float32)
+            _, cache, _ = moe_llama.forward(pp, cfg, mcfg, embeds[:, :-1],
+                                            cache=cache, train=False)
+            step, _ = moe_llama.forward_decode(pp, cfg, mcfg,
+                                               embeds[:, -1:], cache)
+            return np.asarray(step)
+
+        monkeypatch.delenv("MEDPLIB_DECODE_GMM", raising=False)
+        y_sort = decode_last(p)
+        monkeypatch.setenv("MEDPLIB_DECODE_GMM", "1")
+        # the stack must actually engage at decode shapes
+        st = moe_llama.stack_experts_for_gmm(
+            p["layers"]["moe"]["experts"], mcfg, B, train=False,
+            ep_shard=False, decode=True)
+        assert st is not None, f"bits={bits} decode stack should engage"
+        y_gmm = decode_last(p)
+        # gmm dots int8 operands in bf16 (in-kernel epilogue dequant);
+        # sort dequantizes first and dots in f32 — same rel-norm bound as
+        # test_gmm_dispatch_matches_sort_when_zero_drop's int8 leg
+        rel = float(np.linalg.norm(y_gmm - y_sort)
+                    / (np.linalg.norm(y_sort) + 1e-9))
+        assert rel < 0.05, (bits, rel)
+    monkeypatch.delenv("MEDPLIB_DECODE_GMM", raising=False)
