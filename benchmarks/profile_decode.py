@@ -1,0 +1,100 @@
+"""Composed decode-step bisection at flagship shapes (B=16, ctx ~640).
+
+The headline MAXNEW subtraction measures ~26 ms/decode step for the MoE
+flagship vs ~14 ms for the dense model — yet both move the same HBM bytes
+per step (weights ~6.3 GB + bf16 KV reads ~5.4 GB -> ~14.6 ms at v5e
+bandwidth). This harness times ONE jitted forward_decode (the exact
+composed program: layer scan, KV carry scatter, cache reads) per variant:
+
+  dense8   — 32L dense LLM, int8 weights
+  moe4     — 32L x 2e, int8 attn + int4h(G=2) experts, gmm decode (default)
+  moe4sort — same tree, capacity-sort decode (MEDPLIB_DECODE_GMM=0)
+  moe8     — int8 experts (B capped by HBM: run with B=8)
+
+Run: timeout 3600 python benchmarks/profile_decode.py [cases...] [--b N]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+
+def log(msg):
+    print(f"[dec {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def build(moe: bool, expert_bits: int = 4):
+    import __graft_entry__ as ge
+    cfg = ge._flagship_cfg(num_layers=32, moe=moe)
+    if moe:
+        params = ge._init_flagship_moe_quantized(
+            jax.random.PRNGKey(0), cfg, expert_bits=expert_bits,
+            attn_bits=8)
+    else:
+        from medplib_tpu.models import medplib
+        from medplib_tpu.utils import quantize as qz
+        params = jax.jit(
+            lambda k: medplib.init_medplib(k, cfg, jnp.bfloat16)
+        )(jax.random.PRNGKey(0))
+        params = qz.quantize_tree(params)
+    jax.block_until_ready(params)
+    return cfg, params
+
+
+def run(tag, moe: bool, expert_bits: int, B: int, ctx: int = 640,
+        iters: int = 20):
+    from medplib_tpu.models import llama, moe_llama
+    cfg, params = build(moe, expert_bits)
+    lcfg = cfg.llm
+    cache = llama.KVCache.init(lcfg, B, ctx + 32, dtype=jnp.bfloat16)
+    # pretend ctx tokens are already in the cache
+    cache = cache._replace(length=jnp.full((B,), ctx, jnp.int32))
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, 1, lcfg.hidden_size),
+                          jnp.bfloat16)
+
+    if moe:
+        step = jax.jit(lambda p, e, c: moe_llama.forward_decode(
+            p, lcfg, cfg.moe, e, c))
+    else:
+        step = jax.jit(lambda p, e, c: llama.forward_decode(p, lcfg, e, c))
+
+    t0 = time.time()
+    h, cache = step(params["llm"], x, cache)
+    _ = float(jnp.sum(h.astype(jnp.float32)))
+    log(f"{tag}: compile+first {time.time()-t0:.1f}s")
+    t0 = time.time()
+    for _ in range(iters):
+        h, cache = step(params["llm"], x, cache)
+        _ = float(jnp.sum(h.astype(jnp.float32)))
+    log(f"{tag}: {(time.time()-t0)/iters*1e3:.1f} ms/step @ B={B} ctx={ctx}")
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    B = 16
+    if "--b" in sys.argv:
+        B = int(sys.argv[sys.argv.index("--b") + 1])
+    log(f"devices: {jax.devices()}  B={B}")
+    for c in (args or ["dense8", "moe4"]):
+        if c == "dense8":
+            run("dense8", False, 0, B)
+        elif c == "moe4":
+            run("moe4", True, 4, B)
+        elif c == "moe4sort":
+            os.environ["MEDPLIB_DECODE_GMM"] = "0"
+            try:
+                run("moe4sort", True, 4, B)
+            finally:
+                os.environ.pop("MEDPLIB_DECODE_GMM", None)
+        elif c == "moe8":
+            run("moe8", True, 8, B)
+    log("done")

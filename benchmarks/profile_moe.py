@@ -36,6 +36,9 @@ def bench(mode, B=8, T=633, reps=4, iters=3):
     if mode[-1] in "84":
         bits = int(mode[-1])
         mode = mode[:-1]
+    block_m = None  # "gmmd" = decode-tile gmm (block_m=32, the
+    if mode == "gmmd":  # forward_decode default for int4h trees)
+        mode, block_m = "gmm", 32
     if actq and bits == 0:
         bits = 8
     if mode == "dense":
@@ -63,7 +66,11 @@ def bench(mode, B=8, T=633, reps=4, iters=3):
             from medplib_tpu.ops.moe import moe_mlp
 
             def apply(layer_p, h):
-                return moe_mlp(layer_p["moe"], h, mcfg, train=False,
+                mp = layer_p["moe"]
+                if block_m is not None:
+                    mp = dict(mp)
+                    mp["gmm_block_m"] = block_m
+                return moe_mlp(mp, h, mcfg, train=False,
                                dispatch_mode=mode)
 
             out, _, _ = llama.forward(p, cfg, c, mask, mlp_apply=apply)

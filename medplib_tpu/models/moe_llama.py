@@ -236,20 +236,29 @@ def forward(params: Params, cfg: LlamaConfig, moe_cfg: MoeConfig,
 def forward_decode(params: Params, cfg: LlamaConfig, moe_cfg: MoeConfig,
                    input_embeds, cache, ep_shard: bool = False,
                    unroll: bool = False):
-    """Decode step. MEDPLIB_DECODE_GMM=1 routes the per-step expert MLP
-    through the whole-stack Pallas gmm at a tiny m-tile (block_m=32)
-    instead of the capacity-sort einsum: the sort path's expert contraction
-    measured ~1.65 ms/layer at decode shapes vs a ~0.17 ms/layer int4h
-    weight-traffic roofline (the dequantized expert tensors do not stay
-    fused), while gmm streams the packed nibbles. Same zero-drop
+    """Decode step. The per-step expert MLP routes through the whole-stack
+    Pallas gmm at a tiny m-tile (block_m=32) — instead of the
+    capacity-sort einsum — BY DEFAULT for int4h(G=2) expert trees: their
+    sort-path contraction measures ~1.65 ms/layer at T=1 vs a ~0.17 ms
+    weight-traffic roofline (the nibble unpack does not stay fused), and
+    the composed flagship A/B wins (12.66-12.73 vs 12.58-12.60 masks/s).
+    int8 experts keep the dequant-first sort einsum (gmm measured 10.78 vs
+    11.13 composed — XLA schedules that one better inside the decode
+    scan). MEDPLIB_DECODE_GMM=1/0 forces either way. Same zero-drop
     equivalence conditions as prefill (stack_experts_for_gmm)."""
     flags = moe_flags(cfg, moe_cfg)
     stacked = None
-    if (os.environ.get("MEDPLIB_DECODE_GMM", "0") == "1"
-            and bool(np.all(flags == 1))):
+    env = os.environ.get("MEDPLIB_DECODE_GMM", "")
+    experts = params["layers"]["moe"]["experts"] if "moe" in \
+        params["layers"] else None
+    int4h = (experts is not None
+             and "scale4h" in experts.get("gate_proj", {})
+             and experts["gate_proj"]["scale4h"].shape[-3] == 2)
+    want = env == "1" or (env != "0" and int4h)
+    if want and bool(np.all(flags == 1)):
         b = input_embeds.shape[0]
         stacked = stack_experts_for_gmm(
-            params["layers"]["moe"]["experts"], moe_cfg, b, train=False,
+            experts, moe_cfg, b, train=False,
             ep_shard=ep_shard, decode=True)
     mlp_apply = make_moe_mlp_apply(cfg, moe_cfg, train=False,
                                    ep_shard=ep_shard,

@@ -687,7 +687,8 @@ def test_decode_gmm_matches_sort(monkeypatch):
                                                embeds[:, -1:], cache)
             return np.asarray(step)
 
-        monkeypatch.delenv("MEDPLIB_DECODE_GMM", raising=False)
+        monkeypatch.setenv("MEDPLIB_DECODE_GMM", "0")  # force sort (int4h
+        # trees default to the gmm decode path)
         y_sort = decode_last(p)
         monkeypatch.setenv("MEDPLIB_DECODE_GMM", "1")
         # the stack must actually engage at decode shapes
