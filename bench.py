@@ -17,7 +17,8 @@ ships — MedPLIB-7b-2e, 32 layers x 2 experts (~13B params), top-1 routing,
 eval capacity 2.0 — quantized int8 attention + int4h experts (the halved
 expert residency buys batch 16) with the whole-stack Pallas gmm_int4h
 W4A8 expert dispatch at prefill AND the block_m=32 gmm expert dispatch
-at decode (models/moe_llama.forward_decode): 12.66-12.74 masks/s (~5.1x).
+at decode (models/moe_llama.forward_decode, bn=1024/bk=2048 decode
+blocks): 13.27-13.29 masks/s (~5.3x).
 BENCH_MOE_EXPERT_BITS=8 selects int8 experts (finer scales, B=8 + int8
 KV — 11.13, 4.45x). BENCH_MOE=0 selects the dense LISA-style variant
 (weight-only int8 + XLA W8A8 prefill, batch 16 — 16.03 masks/s, 6.4x;

@@ -61,21 +61,36 @@ def run(tag, moe: bool, expert_bits: int, B: int, ctx: int = 640,
     x = jax.random.normal(jax.random.PRNGKey(1), (B, 1, lcfg.hidden_size),
                           jnp.bfloat16)
 
-    if moe:
-        step = jax.jit(lambda p, e, c: moe_llama.forward_decode(
-            p, lcfg, cfg.moe, e, c))
-    else:
-        step = jax.jit(lambda p, e, c: llama.forward_decode(p, lcfg, e, c))
+    # N steps inside ONE jitted lax.scan (the composed generate's shape):
+    # a per-step host dispatch through the axon tunnel costs ~35-40 ms RTT
+    # and swamps the <10 ms differences this harness exists to measure.
+    STEPS = 32
 
+    def one(p, carry, _):
+        h, c = carry
+        h2, c2 = (moe_llama.forward_decode(p, lcfg, cfg.moe, h, c) if moe
+                  else llama.forward_decode(p, lcfg, h, c))
+        # feed the output back in so steps cannot be elided or overlapped
+        return (h2[..., :lcfg.hidden_size].astype(h.dtype), c2), ()
+
+    def many(p, h0, c0):
+        (h, c), _ = jax.lax.scan(
+            lambda carry, _: one(p, carry, None), (h0, c0), None,
+            length=STEPS)
+        return jnp.sum(h.astype(jnp.float32)), c
+
+    step = jax.jit(many, donate_argnums=(2,))
     t0 = time.time()
-    h, cache = step(params["llm"], x, cache)
-    _ = float(jnp.sum(h.astype(jnp.float32)))
+    s, cache = step(params["llm"], x, cache)
+    _ = float(s)
     log(f"{tag}: compile+first {time.time()-t0:.1f}s")
     t0 = time.time()
     for _ in range(iters):
-        h, cache = step(params["llm"], x, cache)
-        _ = float(jnp.sum(h.astype(jnp.float32)))
-    log(f"{tag}: {(time.time()-t0)/iters*1e3:.1f} ms/step @ B={B} ctx={ctx}")
+        s, cache = step(params["llm"], x, cache)
+        _ = float(s)
+    dt = (time.time() - t0) / (iters * STEPS)
+    log(f"{tag}: {dt*1e3:.2f} ms/step @ B={B} ctx={ctx} "
+        f"(x{STEPS} in-program)")
 
 
 if __name__ == "__main__":

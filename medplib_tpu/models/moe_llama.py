@@ -260,10 +260,11 @@ def forward_decode(params: Params, cfg: LlamaConfig, moe_cfg: MoeConfig,
         stacked = stack_experts_for_gmm(
             experts, moe_cfg, b, train=False,
             ep_shard=ep_shard, decode=True)
+    bm = int(os.environ.get("MEDPLIB_DECODE_GMM_BM", "32"))
     mlp_apply = make_moe_mlp_apply(cfg, moe_cfg, train=False,
                                    ep_shard=ep_shard,
                                    stacked_experts=stacked,
-                                   gmm_block_m=32 if stacked else None)
+                                   gmm_block_m=bm if stacked else None)
     p = _with_flags(params, cfg, moe_cfg)
     if stacked is not None:
         layers = dict(p["layers"])

@@ -287,6 +287,11 @@ def _gmm_moe(xs: jnp.ndarray, logits: jnp.ndarray, experts,
     specs = {n: wspec(experts[n])
              for n in ("gate_proj", "up_proj", "down_proj")}
 
+    # tiny-m (decode) tiles: larger N/K blocks — the grid-step latency of
+    # an 88-step decode grid costs ~9x the weight-traffic roofline per
+    # call (ops/pallas/gmm.py gmm_int4h block_k note)
+    big = {"block_n": 1024, "block_k": 2048} if block_m <= 64 else {}
+
     def mm(xin, spec):
         kind, w, sc = spec
         pad_ok = not stacked   # padding a whole-stack operand would copy it
@@ -300,12 +305,12 @@ def _gmm_moe(xs: jnp.ndarray, logits: jnp.ndarray, experts,
             # capped the XLA W8A8 composition at ~1.08x, README perf notes)
             if kind == "int4h":
                 return gmm_int4h(xq, w, sc, tile_gid, a_scale=xsc,
-                                 block_m=block_m, allow_pad=pad_ok)
+                                 block_m=block_m, allow_pad=pad_ok, **big)
             return gmm(xq, w, tile_gid, sc, a_scale=xsc, block_m=block_m,
                        allow_pad=pad_ok)
         if kind == "int4h":
             return gmm_int4h(xin[0], w, sc, tile_gid, block_m=block_m,
-                             allow_pad=pad_ok)
+                             allow_pad=pad_ok, **big)
         return gmm(xin[0], w, tile_gid, sc, block_m=block_m,
                    allow_pad=pad_ok)
 

@@ -233,7 +233,8 @@ def _kernel_int4h(gid_ref, x_ref, p_ref, s_ref, as_ref, o_ref,
 def gmm_int4h(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
               tile_gid: jnp.ndarray, a_scale: jnp.ndarray | None = None,
               block_m: int = 512, block_n: int = 512,
-              out_dtype=None, allow_pad: bool = True) -> jnp.ndarray:
+              out_dtype=None, allow_pad: bool = True,
+              block_k: int | None = None) -> jnp.ndarray:
     """Grouped matmul over int4 deinterleaved-halves expert weights.
 
     x [Sp, K] group-aligned rows (int8 with a_scale [Sp, 1] for W4A8, else
@@ -268,7 +269,11 @@ def gmm_int4h(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
     # block + two accumulators in VMEM — cap bk by activation width (f32 x
     # at bk=2048 measured 20 MB > the 16 MB scoped-vmem limit)
     xs = jnp.stack([x[:, :k2], x[:, k2:]])
-    cap = max(512, 2048 // x.dtype.itemsize)
+    # block_k raises the K-block cap (in k2 rows): tiny-m decode tiles are
+    # grid-step-latency-bound, not VMEM-bound — fewer, larger blocks win
+    # (one gmm_int4h call at decode shapes measured 0.53 ms with the
+    # default 88-step grid vs a 0.058 ms traffic roofline)
+    cap = block_k if block_k else max(512, 2048 // x.dtype.itemsize)
     if k2 <= cap:
         bk, k2_pad = k2, 0                  # single K block
     else:
@@ -282,9 +287,11 @@ def gmm_int4h(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
         packed = jnp.pad(packed, ((0, 0), (0, k2_pad), (0, 0)))
     n_kb = (k2 + k2_pad) // bk
 
+    if not allow_pad and n % bn:
+        # no-pad operands (whole-stack): shrink to the largest dividing
+        # N block instead of padding the multi-GB stack
+        bn = _best_block(n, bn)
     n_pad = -n % bn
-    assert allow_pad or n_pad == 0, \
-        f"no-pad gmm_int4h needs N % {bn} == 0, got N={n}"
     if n_pad:
         packed = jnp.pad(packed, ((0, 0), (0, 0), (0, n_pad)))
         scale = jnp.pad(scale, ((0, 0), (0, 0), (0, 0), (0, n_pad)))
