@@ -10,6 +10,15 @@ composed program: layer scan, KV carry scatter, cache reads) per variant:
   moe4     — 32L x 2e, int8 attn + int4h(G=2) experts, gmm decode (default)
   moe4sort — same tree, capacity-sort decode (MEDPLIB_DECODE_GMM=0)
   moe8     — int8 experts (B capped by HBM: run with B=8)
+  *kvq     — int8 KV-cache variants. NOTE: these OOM in THIS harness
+             (the 4-array quantized cache defeats the donate-aliasing my
+             scan wrapper relies on); use the composed bench
+             (BENCH_KVQUANT=1 python bench.py) for kvq numbers. The
+             "within noise" composed kvq result is roofline-consistent:
+             decode is ~15% of batch time, so halving KV traffic is ~2%.
+
+MEASURED (B=16 ctx=640): dense8 19.63 | moe4 big-block 23.37 (prefill
+blocks: 25.46) | moe4sort 27.38 ms/step; block_m 16/64: 27.52/23.90.
 
 Run: timeout 3600 python benchmarks/profile_decode.py [cases...] [--b N]
 """
@@ -51,11 +60,12 @@ def build(moe: bool, expert_bits: int = 4):
 
 
 def run(tag, moe: bool, expert_bits: int, B: int, ctx: int = 640,
-        iters: int = 20):
+        iters: int = 20, kvq: bool = False):
     from medplib_tpu.models import llama, moe_llama
     cfg, params = build(moe, expert_bits)
     lcfg = cfg.llm
-    cache = llama.KVCache.init(lcfg, B, ctx + 32, dtype=jnp.bfloat16)
+    cache = llama.KVCache.init(lcfg, B, ctx + 32,
+                               dtype=jnp.bfloat16, quant=kvq)
     # pretend ctx tokens are already in the cache
     cache = cache._replace(length=jnp.full((B,), ctx, jnp.int32))
     x = jax.random.normal(jax.random.PRNGKey(1), (B, 1, lcfg.hidden_size),
@@ -102,8 +112,12 @@ if __name__ == "__main__":
     for c in (args or ["dense8", "moe4"]):
         if c == "dense8":
             run("dense8", False, 0, B)
+        elif c == "dense8kvq":
+            run("dense8kvq", False, 0, B, kvq=True)
         elif c == "moe4":
             run("moe4", True, 4, B)
+        elif c == "moe4kvq":
+            run("moe4kvq", True, 4, B, kvq=True)
         elif c == "moe4sort":
             os.environ["MEDPLIB_DECODE_GMM"] = "0"
             try:
