@@ -254,15 +254,8 @@ def _gmm_moe(xs: jnp.ndarray, logits: jnp.ndarray, experts,
     ce = jnp.mean(jax.nn.one_hot(idx, e), axis=0)
     aux = jnp.sum(me * ce) * e
 
-    order = jnp.argsort(idx, stable=True)
-    sorted_expert = idx[order]
-    group_sizes = jnp.bincount(idx, length=e).astype(jnp.int32)
-    group_start = jnp.searchsorted(sorted_expert, sorted_expert,
-                                   side="left")
-    ranks = (jnp.arange(s) - group_start).astype(jnp.int32)
-    x_al, dest, tile_gid = align_groups(xs[order], ranks,
-                                        sorted_expert.astype(jnp.int32),
-                                        group_sizes, e, block_m)
+    x_al, dest, tile_gid = align_groups(xs, idx.astype(jnp.int32), e,
+                                        block_m)
     stacked = gid_offset is not None
     if stacked:
         tile_gid = tile_gid + jnp.asarray(gid_offset, jnp.int32)
@@ -328,8 +321,9 @@ def _gmm_moe(xs: jnp.ndarray, logits: jnp.ndarray, experts,
     h1 = mm(xin, specs["gate_proj"])
     h2 = mm(xin, specs["up_proj"])
     out_al = mm(xpair(jax.nn.silu(h1) * h2), specs["down_proj"])
-    y_sorted = out_al[dest] * gate_s[order][:, None].astype(out_al.dtype)
-    y = jnp.zeros((s, h), dtype).at[order].set(y_sorted.astype(dtype))
+    # dest maps token i -> its aligned row, so the combine is a single
+    # gather — no unsort scatter (align_groups docstring)
+    y = (out_al[dest] * gate_s[:, None].astype(out_al.dtype)).astype(dtype)
     return y, aux
 
 
