@@ -5,6 +5,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from medplib_tpu.config import LlamaConfig, MoeConfig
 from medplib_tpu.models import llama, moe_llama
@@ -555,6 +556,50 @@ def test_gmm_int4h_dispatch():
     rel_w = float(jnp.linalg.norm(y_w - y_q_sort) /
                   jnp.linalg.norm(y_q_sort))
     assert rel_w < 0.05, rel_w
+
+
+@pytest.mark.parametrize("pattern", ["all_one", "tight", "empty_first",
+                                     "alternating"])
+def test_align_groups_adversarial_routing(pattern):
+    """align_groups under routing skew: the static worst-case buffer
+    sp = (S // block_m + E) * block_m is exactly tight (sum of per-group
+    padding is congruent to -S mod block_m, so it caps at E*bm - r), and
+    every adversarial distribution must scatter without collisions, keep
+    dest in-bounds, and give each real token's m-tile its own expert id."""
+    from medplib_tpu.ops.pallas.gmm import align_groups
+    E, bm, K = 2, 32, 8
+    S = 162 if pattern == "tight" else 161
+    if pattern == "all_one":
+        idx = np.full((S,), 1, np.int32)          # one expert takes all
+    elif pattern == "tight":
+        # sizes 65 / 97, both == 1 (mod bm): total padding 2*bm - 2 and
+        # the aligned buffer fills sp EXACTLY (the bound's equality case)
+        idx = np.zeros((S,), np.int32)
+        idx[:65] = 1
+        np.random.default_rng(1).shuffle(idx)
+    elif pattern == "empty_first":
+        idx = np.full((S,), 1, np.int32)
+        idx[-1] = 1                               # expert 0 empty
+    else:
+        idx = (np.arange(S) % E).astype(np.int32)
+    xs = np.random.default_rng(0).normal(size=(S, K)).astype(np.float32)
+    x_al, dest, tile_gid = jax.jit(
+        lambda v, i: align_groups(v, i, E, bm))(jnp.asarray(xs),
+                                                jnp.asarray(idx))
+    x_al, dest, tile_gid = map(np.asarray, (x_al, dest, tile_gid))
+    sp = (S // bm + E) * bm
+    assert x_al.shape == (sp, K) and tile_gid.shape == (sp // bm,)
+    # no collisions, all rows in-bounds
+    assert len(set(dest.tolist())) == S
+    assert dest.min() >= 0 and dest.max() < sp
+    # scatter round-trips: gathering dest rows recovers the tokens
+    np.testing.assert_allclose(x_al[dest], xs, rtol=0, atol=0)
+    # non-token rows stay zero (gap + tail padding)
+    mask = np.ones(sp, bool)
+    mask[dest] = False
+    assert np.all(x_al[mask] == 0.0)
+    # each real token's tile is labeled with ITS expert
+    np.testing.assert_array_equal(tile_gid[dest // bm], idx)
 
 
 def _stacked_test_tree(key, L, E, H, M, dtype=jnp.float32):
