@@ -207,9 +207,14 @@ def bench_icl(tiny: bool):
         params = _params(cfg, jnp.float32)
     else:
         # quantized layer-by-layer init: the bf16 13B tree never
-        # materializes (__graft_entry__._init_flagship_moe_quantized)
+        # materializes (__graft_entry__._init_flagship_moe_quantized).
+        # BENCH_ICL_EXPERT_BITS=4 selects int4h experts: at B=1 each of
+        # the 10 decode steps re-reads the whole expert stack, so halving
+        # expert residency (8.6 -> 4.3 GB) is a decode-bandwidth A/B.
         import __graft_entry__ as ge
-        params = ge._init_flagship_moe_quantized(jax.random.PRNGKey(0), cfg)
+        params = ge._init_flagship_moe_quantized(
+            jax.random.PRNGKey(0), cfg,
+            expert_bits=int(os.environ.get("BENCH_ICL_EXPERT_BITS", "8")))
     B, T, new = (1, 24, 2) if tiny else (1, 64, 10)
     n_img = 3  # query + 2 icl example images
     rng = np.random.default_rng(0)
