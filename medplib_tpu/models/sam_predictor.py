@@ -18,7 +18,7 @@ import numpy as np
 
 from medplib_tpu.config import SamConfig
 from medplib_tpu.data import preprocess as pp
-from medplib_tpu.models import sam_med2d
+from medplib_tpu.models import amg, sam_med2d
 
 
 class SamPredictor:
@@ -244,13 +244,24 @@ def generate_masks(predictor: SamPredictor, image_rgb: np.ndarray,
                    nms_iou_thresh: Optional[float] = None,
                    min_area: int = 16, crop_n_layers: int = 0,
                    crop_overlap_ratio: float = 512 / 1500,
-                   crop_n_points_downscale_factor: int = 1) -> List[Dict]:
+                   crop_n_points_downscale_factor: int = 1,
+                   min_mask_region_area: int = 0,
+                   output_mode: str = "binary_mask") -> List[Dict]:
     """Automatic mask generation (automatic_mask_generator.py semantics):
     optional crop pyramid -> per-crop point grid -> batched single-point
     decode -> predicted-IoU + stability-score filters -> per-crop box NMS
     -> cross-crop NMS preferring smaller crops. All grid points of a crop
     decode in ONE mask-decoder call (the reference loops points_per_batch
-    chunks)."""
+    chunks).
+
+    min_mask_region_area > 0 additionally fills holes / drops islands
+    smaller than that area and re-deduplicates (postprocess_small_regions,
+    automatic_mask_generator.py:167-171, 324-373). output_mode selects the
+    "segmentation" payload: "binary_mask" ([H, W] bool), "uncompressed_rle"
+    (pycocotools-style counts dict), or "coco_rle" (compressed counts
+    string; models/amg.py encodes it natively, no pycocotools needed)."""
+    assert output_mode in ("binary_mask", "uncompressed_rle", "coco_rle"), \
+        f"unknown output_mode {output_mode}"
     h, w = image_rgb.shape[:2]
     # legacy alias resolved ONCE so per-crop NMS and cross-crop dedup use
     # the same threshold
@@ -288,4 +299,12 @@ def generate_masks(predictor: SamPredictor, image_rgb: np.ndarray,
         records = [records[i] for i in keep]
     for r in records:
         r.pop("_crop_score", None)
+    if min_mask_region_area > 0:
+        records = amg.postprocess_small_regions(records, min_mask_region_area,
+                                                box_nms_thresh)
+    if output_mode != "binary_mask":
+        for r in records:
+            rle = amg.mask_to_rle(np.asarray(r["segmentation"], bool))
+            r["segmentation"] = (amg.coco_encode_rle(rle)
+                                 if output_mode == "coco_rle" else rle)
     return records

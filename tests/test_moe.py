@@ -578,8 +578,11 @@ def test_align_groups_adversarial_routing(pattern):
         idx[:65] = 1
         np.random.default_rng(1).shuffle(idx)
     elif pattern == "empty_first":
+        # expert 0 gets only the LAST token: its group (first in the
+        # aligned buffer) is a single row in an otherwise empty tile,
+        # and expert 1's 160-token run starts at the next tile boundary
         idx = np.full((S,), 1, np.int32)
-        idx[-1] = 1                               # expert 0 empty
+        idx[-1] = 0
     else:
         idx = (np.arange(S) % E).astype(np.int32)
     xs = np.random.default_rng(0).normal(size=(S, K)).astype(np.float32)
