@@ -520,10 +520,12 @@ def stream_prefill(params: Params, cfg: MedplibConfig, batch: Batch,
                    max_segs: int = 1,
                    do_sample: bool = False, temperature=1.0, top_p=1.0,
                    rng: Optional[jax.Array] = None,
-                   kv_quant: bool = False) -> StreamState:
+                   kv_quant: bool = False,
+                   ep_shard: bool = False) -> StreamState:
     """Splice + prefill; returns the carry for stream_decode_chunk. SEG
     capture semantics match generate() (this step's hidden; prompt SEGs and
-    first-generated-token SEG included)."""
+    first-generated-token SEG included). ep_shard: annotate the MoE
+    dispatch for an expert-sharded mesh (multi-chip serving)."""
     from medplib_tpu.ops import sampling
 
     b = batch.input_ids.shape[0]
@@ -532,7 +534,8 @@ def stream_prefill(params: Params, cfg: MedplibConfig, batch: Batch,
     cache = llama.KVCache.init(cfg.llm, b, embeds.shape[1] + max_new_tokens,
                                dtype=embeds.dtype, quant=kv_quant)
     hidden, cache, _ = _llm_forward(params, cfg, embeds, attn_mask,
-                                    cache=cache, train=False)
+                                    cache=cache, train=False,
+                                    ep_shard=ep_shard)
     last_idx = jnp.maximum(jnp.sum(attn_mask, -1) - 1, 0)
     last_hidden = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)
     # per-row streams: see generate() — required by the batching engine
@@ -564,12 +567,12 @@ def stream_decode_chunk(params: Params, cfg: MedplibConfig,
                         state: StreamState, chunk: int,
                         eos_id: int = 2,
                         do_sample: bool = False, temperature=1.0,
-                        top_p=1.0):
+                        top_p=1.0, ep_shard: bool = False):
     """Decode `chunk` tokens from the carried state (greedy, or
     temperature/top-p when do_sample — model_worker.py:420-425).
     -> (new state, tokens [B, chunk], done-before-step [B, chunk])."""
     step = _make_decode_step(params, cfg, eos_id, do_sample, temperature,
-                             top_p)
+                             top_p, ep_shard=ep_shard)
     carry = (state.cache, state.tok, state.done, state.seg_emb,
              state.seg_count, state.last_cap, state.rng)
     carry, (toks, dones) = jax.lax.scan(step, carry, None, length=chunk)
