@@ -99,10 +99,25 @@ def moe_flags(cfg: LlamaConfig, moe_cfg: MoeConfig) -> np.ndarray:
                        for i in range(cfg.num_layers)], np.int32)
 
 
+def mesh_ep_shards() -> tuple:
+    """(expert_axis_size, data*expert row shards) of the ambient mesh —
+    1,1 outside any mesh. Trace-time static (AbstractMesh shape)."""
+    try:
+        from jax.sharding import get_abstract_mesh
+        shape = dict(get_abstract_mesh().shape)
+    except Exception:
+        return 1, 1
+    from medplib_tpu.parallel.mesh import AXIS_DATA, AXIS_EXPERT
+    ep = int(shape.get(AXIS_EXPERT, 1))
+    return ep, int(shape.get(AXIS_DATA, 1)) * ep
+
+
 def stack_experts_for_gmm(experts: Params, moe_cfg: MoeConfig,
                           s_tokens: int, train: bool,
                           ep_shard: bool,
-                          decode: bool = False) -> Optional[Params]:
+                          decode: bool = False,
+                          ep: int = 1,
+                          row_shards: int = 1) -> Optional[Params]:
     """Whole-stack layer-indexed expert view for the Pallas grouped matmul.
 
     Returns the experts node with kernels reshaped [L, E, ...] ->
@@ -115,19 +130,35 @@ def stack_experts_for_gmm(experts: Params, moe_cfg: MoeConfig,
     otherwise MATERIALIZED every layer (270 MB/layer for the int8
     flagship; also the HLO-temp pressure that kept batch 10 from
     fitting). Shape preconditions come pre-satisfied by
-    utils/quantize.pad_moe_experts_for_gmm (M padded to 1024)."""
-    if train or ep_shard or moe_cfg.top_k != 1:
+    utils/quantize.pad_moe_experts_for_gmm (M padded to 1024).
+
+    ep_shard + ep>1 (expert mesh axis): the EXPERT-PARALLEL variant
+    (ops/moe._gmm_moe_ep). Kernels are returned UNRESHAPED [L, E, ...] —
+    merging [L, E] with E sharded on `expert` is not a free GSPMD
+    resharding (it would all-gather the stacks); the per-shard
+    [L*E/ep, ...] view is taken inside the shard_map instead. Needs
+    E % ep == 0 and S % (data*expert) == 0 (shard_map row specs)."""
+    if train or moe_cfg.top_k != 1:
+        return None
+    ep_mode = ep_shard and ep > 1
+    if ep_shard and not ep_mode:
+        return None   # ep_shard requested but no expert mesh axis in scope
+    e = moe_cfg.num_experts
+    if ep_mode and (e % ep != 0 or s_tokens % max(row_shards, 1) != 0):
         return None
     from medplib_tpu.ops.moe import capacity_for
     from medplib_tpu.ops.pallas.gmm import _pick_bk
 
-    e = moe_cfg.num_experts
     cap = capacity_for(s_tokens, e, moe_cfg.eval_capacity_factor,
                        moe_cfg.min_capacity)
     if cap < s_tokens:
         return None   # sort could drop tokens: gmm would not be equivalent
     if s_tokens < 1024 and not decode:
         return None   # prefill heuristic: sort wins at small S (profile_moe)
+
+    def view(a):
+        return a if ep_mode else a.reshape((-1,) + a.shape[2:])
+
     out = {}
     for n in ("gate_proj", "up_proj", "down_proj"):
         node = experts[n]
@@ -137,14 +168,10 @@ def stack_experts_for_gmm(experts: Params, moe_cfg: MoeConfig,
         if "scale" in node and k.dtype == jnp.int8:
             if _pick_bk(k.shape[-2])[1] != 0 or k.shape[-1] % 512 != 0:
                 return None  # would need an in-scan padding copy
-            sc = node["scale"]
-            out[n] = {"kernel": k.reshape((-1,) + k.shape[2:]),
-                      "scale": sc.reshape((-1,) + sc.shape[2:])}
+            out[n] = {"kernel": view(k), "scale": view(node["scale"])}
         elif ("scale4h" in node and node["scale4h"].shape[-3] == 2
               and k.shape[-2] % 128 == 0 and k.shape[-1] % 512 == 0):
-            sc = node["scale4h"]
-            out[n] = {"kernel": k.reshape((-1,) + k.shape[2:]),
-                      "scale4h": sc.reshape((-1,) + sc.shape[2:])}
+            out[n] = {"kernel": view(k), "scale4h": view(node["scale4h"])}
         else:
             return None  # bf16/int4-block: per-layer dequant path instead
     return out
@@ -153,10 +180,15 @@ def stack_experts_for_gmm(experts: Params, moe_cfg: MoeConfig,
 def make_moe_mlp_apply(cfg: LlamaConfig, moe_cfg: MoeConfig,
                        train: bool = True, ep_shard: bool = False,
                        stacked_experts: Optional[Params] = None,
-                       gmm_block_m: Optional[int] = None):
-    """MlpApply closure for llama.forward / forward_decode."""
+                       gmm_block_m: Optional[int] = None,
+                       ep_size: int = 1):
+    """MlpApply closure for llama.forward / forward_decode. ep_size > 1
+    marks the stacked experts as expert-mesh-sharded: the gid offset then
+    indexes the per-shard [L*E/ep] stack and moe_mlp routes to the
+    expert-parallel gmm."""
     flags = moe_flags(cfg, moe_cfg)
     all_moe = bool(np.all(np.asarray(flags) == 1))
+    e_per_shard = moe_cfg.num_experts // max(ep_size, 1)
 
     def apply(layer_p: Params, x: jnp.ndarray):
         def moe_branch(_):
@@ -164,8 +196,9 @@ def make_moe_mlp_apply(cfg: LlamaConfig, moe_cfg: MoeConfig,
             if stacked_experts is not None:
                 mp = dict(mp)
                 mp["experts"] = stacked_experts
-                mp["gid_offset"] = (
-                    layer_p["layer_idx"] * moe_cfg.num_experts)
+                mp["gid_offset"] = layer_p["layer_idx"] * e_per_shard
+                if ep_size > 1:
+                    mp["ep_size"] = ep_size
                 if gmm_block_m is not None:
                     mp["gmm_block_m"] = gmm_block_m
                 return moe_mlp(mp, x, moe_cfg, train=train,
@@ -203,9 +236,13 @@ def forward(params: Params, cfg: LlamaConfig, moe_cfg: MoeConfig,
 
     use_stacked_gmm: None (auto — engage the whole-stack layer-indexed
     gmm dispatch whenever stack_experts_for_gmm deems it exact and
-    pad-free), or force off (False) for A/Bs and tests."""
+    pad-free), or force off (False) for A/Bs and tests. Under an
+    expert-sharded mesh (ep_shard + expert axis > 1) the stacked path is
+    the EXPERT-PARALLEL gmm (ops/moe._gmm_moe_ep); ineligible shapes fall
+    back to the capacity-sort dispatch with GSPMD sharding constraints."""
     flags = moe_flags(cfg, moe_cfg)
     stacked = None
+    ep, row_shards = mesh_ep_shards() if ep_shard else (1, 1)
     if use_stacked_gmm is None and \
             os.environ.get("MEDPLIB_STACK_MOE", "1") != "1":
         use_stacked_gmm = False   # diagnostic A/B kill-switch
@@ -213,10 +250,11 @@ def forward(params: Params, cfg: LlamaConfig, moe_cfg: MoeConfig,
         b, t = input_embeds.shape[:2]
         stacked = stack_experts_for_gmm(
             params["layers"]["moe"]["experts"], moe_cfg, b * t, train,
-            ep_shard)
+            ep_shard, ep=ep, row_shards=row_shards)
     mlp_apply = make_moe_mlp_apply(cfg, moe_cfg, train=train,
                                    ep_shard=ep_shard,
-                                   stacked_experts=stacked)
+                                   stacked_experts=stacked,
+                                   ep_size=ep if stacked is not None else 1)
     p = _with_flags(params, cfg, moe_cfg)
     if stacked is not None:
         # the expert stacks must NOT ride the scan as xs (that is the
@@ -255,16 +293,18 @@ def forward_decode(params: Params, cfg: LlamaConfig, moe_cfg: MoeConfig,
              and "scale4h" in experts.get("gate_proj", {})
              and experts["gate_proj"]["scale4h"].shape[-3] == 2)
     want = env == "1" or (env != "0" and int4h)
+    ep, row_shards = mesh_ep_shards() if ep_shard else (1, 1)
     if want and bool(np.all(flags == 1)):
         b = input_embeds.shape[0]
         stacked = stack_experts_for_gmm(
             experts, moe_cfg, b, train=False,
-            ep_shard=ep_shard, decode=True)
+            ep_shard=ep_shard, decode=True, ep=ep, row_shards=row_shards)
     bm = int(os.environ.get("MEDPLIB_DECODE_GMM_BM", "32"))
     mlp_apply = make_moe_mlp_apply(cfg, moe_cfg, train=False,
                                    ep_shard=ep_shard,
                                    stacked_experts=stacked,
-                                   gmm_block_m=bm if stacked else None)
+                                   gmm_block_m=bm if stacked else None,
+                                   ep_size=ep if stacked is not None else 1)
     p = _with_flags(params, cfg, moe_cfg)
     if stacked is not None:
         layers = dict(p["layers"])

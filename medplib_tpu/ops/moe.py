@@ -259,8 +259,21 @@ def _gmm_moe(xs: jnp.ndarray, logits: jnp.ndarray, experts,
     stacked = gid_offset is not None
     if stacked:
         tile_gid = tile_gid + jnp.asarray(gid_offset, jnp.int32)
+    out_al = _gmm_ffn(x_al, tile_gid, experts, dtype, block_m, stacked)
+    # dest maps token i -> its aligned row, so the combine is a single
+    # gather — no unsort scatter (align_groups docstring)
+    y = (out_al[dest] * gate_s[:, None].astype(out_al.dtype)).astype(dtype)
+    return y, aux
 
-    from medplib_tpu.ops.pallas.gmm import gmm_int4h
+
+def _gmm_ffn(x_al: jnp.ndarray, tile_gid: jnp.ndarray, experts, dtype,
+             block_m: int, stacked: bool) -> jnp.ndarray:
+    """SwiGLU expert FFN over a group-aligned buffer: three grouped
+    matmuls (gate/up/down) steered by tile_gid. Shared by the single-shard
+    gmm dispatch (_gmm_moe) and the expert-parallel one (_gmm_moe_ep).
+    -> out_al [Sp, H]."""
+    from medplib_tpu.ops.pallas.gmm import gmm, gmm_int4h
+    from medplib_tpu.train.lora import dequant_kernel
 
     def wspec(node):
         # int8 nodes pass through natively (in-kernel epilogue dequant);
@@ -320,10 +333,88 @@ def _gmm_moe(xs: jnp.ndarray, logits: jnp.ndarray, experts,
     xin = xpair(x_al)
     h1 = mm(xin, specs["gate_proj"])
     h2 = mm(xin, specs["up_proj"])
-    out_al = mm(xpair(jax.nn.silu(h1) * h2), specs["down_proj"])
-    # dest maps token i -> its aligned row, so the combine is a single
-    # gather — no unsort scatter (align_groups docstring)
-    y = (out_al[dest] * gate_s[:, None].astype(out_al.dtype)).astype(dtype)
+    return mm(xpair(jax.nn.silu(h1) * h2), specs["down_proj"])
+
+
+def _gmm_moe_ep(xs: jnp.ndarray, logits: jnp.ndarray, experts_le, dtype,
+                num_experts: int, ep: int, gid_offset,
+                block_m: int = 512) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """EXPERT-PARALLEL whole-stack grouped-matmul dispatch (top-1).
+
+    The expert stacks stay sharded on the `expert` mesh axis (kernels
+    [L, E, K, N] with spec P(None, 'expert', ...)); a full-manual
+    jax.shard_map runs the gmm per expert shard:
+
+      all_gather tokens over `expert` -> each shard routes the gathered
+      tokens to ITS local experts (remote tokens land in a zero-gated
+      dummy group), local [L, E/ep, K, N] stacks reshape to the shard's
+      own whole-stack [L*E/ep, K, N] view (free: dims 0,1 are contiguous),
+      one _gmm_ffn steered by local tile ids + the layer offset, then
+      psum_scatter over `expert` returns each token's single nonzero
+      contribution to its home shard.
+
+    This is DeepSpeed's `ep_size` inference partitioning
+    (medplib_moe_llama.py:602-614) expressed as gather/reduce-scatter ICI
+    collectives instead of NCCL all-to-all. Cost note (why not all-to-all):
+    with static shapes a drop-free all-to-all must provision worst-case
+    capacity C = S_group per shard — identical buffer and FLOP budget to
+    this formulation, with two extra reshuffles. Per-shard compute covers
+    all gathered rows (the zero-gated remote tokens still occupy buffer
+    tiles), so EP saves HBM weight traffic (each chip streams only E/ep
+    experts — the serving-relevant bound at decode) but not FLOPs; for the
+    2-expert flagship that is the information-theoretic floor of drop-free
+    static dispatch. The MoE FFN is replicated over the `model` axis
+    (DeepSpeed MoE does not tensor-parallelize experts either).
+
+    Requires S % (data * expert) == 0 (checked by the caller's
+    eligibility gate). aux loss comes from the global logits, outside the
+    manual region.
+    """
+    from jax.sharding import PartitionSpec as P, get_abstract_mesh
+    from medplib_tpu.ops.pallas.gmm import align_groups
+    from medplib_tpu.parallel.mesh import AXIS_DATA, AXIS_EXPERT
+
+    s, h = xs.shape
+    e = num_experts
+    e_loc = e // ep
+    gates = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    idx = jnp.argmax(gates, axis=-1).astype(jnp.int32)
+    gate_s = jnp.take_along_axis(gates, idx[:, None], axis=1)[:, 0]
+
+    me = jnp.mean(gates, axis=0)
+    ce = jnp.mean(jax.nn.one_hot(idx, e), axis=0)
+    aux = jnp.sum(me * ce) * e
+
+    def body(goff, xl, idxl, gatel, wl):
+        ep_idx = jax.lax.axis_index(AXIS_EXPERT)
+        xg = jax.lax.all_gather(xl, AXIS_EXPERT, tiled=True)
+        idxg = jax.lax.all_gather(idxl, AXIS_EXPERT, tiled=True)
+        gateg = jax.lax.all_gather(gatel, AXIS_EXPERT, tiled=True)
+        sel = (idxg // e_loc) == ep_idx
+        # remote tokens -> dummy group e_loc (sorts after the real local
+        # groups); their rows compute against expert e_loc-1's weights but
+        # the zeroed gate drops the result before the psum
+        lidx = jnp.where(sel, idxg - ep_idx * e_loc, e_loc)
+        gm = jnp.where(sel, gateg, 0.0)
+        x_al, dest, tile_gid = align_groups(xg, lidx, e_loc + 1, block_m)
+        tile_gid = jnp.minimum(tile_gid, e_loc - 1) + goff
+        wloc = {n: {k: v.reshape((-1,) + v.shape[2:])
+                    for k, v in node.items()}
+                for n, node in wl.items()}
+        out_al = _gmm_ffn(x_al, tile_gid, wloc, dtype, block_m, stacked=True)
+        yg = (out_al[dest] * gm[:, None].astype(out_al.dtype)).astype(dtype)
+        return jax.lax.psum_scatter(yg, AXIS_EXPERT, scatter_dimension=0,
+                                    tiled=True)
+
+    rows = P((AXIS_DATA, AXIS_EXPERT))
+    w_specs = jax.tree_util.tree_map(
+        lambda v: P(*((None, AXIS_EXPERT) + (None,) * (v.ndim - 2))),
+        experts_le)
+    y = jax.shard_map(
+        body, mesh=get_abstract_mesh(),
+        in_specs=(P(), P(*rows, None), rows, rows, w_specs),
+        out_specs=P(*rows, None), check_vma=False,
+    )(jnp.asarray(gid_offset, jnp.int32), xs, idx, gate_s, experts_le)
     return y, aux
 
 
@@ -366,9 +457,17 @@ def moe_mlp(
         dispatch_mode = "gmm" if zero_drop and s >= 1024 else "sort"
 
     if dispatch_mode == "gmm":
-        y, aux = _gmm_moe(xs, logits, moe_params["experts"], x.dtype,
-                          block_m=moe_params.get("gmm_block_m", 512),
-                          gid_offset=moe_params.get("gid_offset"))
+        ep = moe_params.get("ep_size", 1)
+        if ep > 1:
+            y, aux = _gmm_moe_ep(
+                xs, logits, moe_params["experts"], x.dtype,
+                num_experts=e, ep=ep,
+                gid_offset=moe_params.get("gid_offset", 0),
+                block_m=moe_params.get("gmm_block_m", 512))
+        else:
+            y, aux = _gmm_moe(xs, logits, moe_params["experts"], x.dtype,
+                              block_m=moe_params.get("gmm_block_m", 512),
+                              gid_offset=moe_params.get("gid_offset"))
         if "residual_mlp" in moe_params:
             y = _apply_residual(moe_params, xs, y, x.dtype)
         return y.reshape(b, t, h), aux

@@ -135,6 +135,11 @@ _PATH_RULES = [
     # MoE expert stacks carry a leading expert dim
     (r"experts/(gate_proj|up_proj)/kernel$", ("expert", "embed", "mlp")),
     (r"experts/down_proj/kernel$", ("expert", "mlp", "embed")),
+    # quantization scales ride the expert axis with their kernels so the
+    # expert-parallel gmm (ops/moe._gmm_moe_ep) finds them pre-sharded:
+    # scale [L, E, 1, N], scale4h [L, E, G, 1, N]
+    (r"experts/.*/scale$", ("expert", None, None)),
+    (r"experts/.*/scale4h$", ("expert", None, None, None)),
     (r"router/kernel$", ("embed", None)),
     # LoRA
     (r"lora_a$", ("embed", None)),

@@ -767,3 +767,94 @@ def test_decode_gmm_matches_sort(monkeypatch):
                     / (np.linalg.norm(y_sort) + 1e-9))
         assert rel < 0.05, (bits, rel)
     monkeypatch.delenv("MEDPLIB_DECODE_GMM", raising=False)
+
+
+@pytest.mark.slow
+def test_ep_gmm_matches_single_device():
+    """Expert-PARALLEL whole-stack gmm (ops/moe._gmm_moe_ep): on a
+    (data=2, expert=2, model=2) mesh with the expert stacks sharded on
+    the expert axis, forward with ep_shard=True must engage the EP gmm
+    (unreshaped [L, E, ...] stack view) and match the single-device
+    stacked-gmm forward — int8 prefill and int4h decode."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from medplib_tpu.config import MeshConfig
+    from medplib_tpu.parallel.mesh import make_mesh, param_sharding
+    from medplib_tpu.utils.quantize import quantize_tree
+
+    L, E, H, M, B, T = 2, 2, 1024, 1536, 8, 128
+    cfg, mcfg, params = _stacked_test_tree(jax.random.PRNGKey(3), L, E, H, M)
+    params["layers"]["moe"]["experts"] = quantize_tree(
+        params["layers"]["moe"]["experts"], skip=(), bits=8)
+    x = jax.random.normal(jax.random.PRNGKey(4), (B, T, H)) * 0.1
+
+    y_ref, _, aux_ref = jax.jit(
+        lambda p, v: moe_llama.forward(p, cfg, mcfg, v, train=False))(
+            params, x)
+
+    mesh = make_mesh(MeshConfig(data=2, expert=2, model=2))
+    ps = jax.tree_util.tree_map(jax.device_put, params,
+                                param_sharding(mesh, params))
+    # scales must ride the expert axis with their kernels (mesh rules)
+    sc_spec = param_sharding(
+        mesh, params)["layers"]["moe"]["experts"]["gate_proj"]["scale"].spec
+    assert sc_spec == P(None, "expert", None, None), sc_spec
+    xs = jax.device_put(x, NamedSharding(mesh, P(("data", "expert"),
+                                                 None, None)))
+    with jax.set_mesh(mesh):
+        ep, rs = moe_llama.mesh_ep_shards()
+        assert (ep, rs) == (2, 4)
+        st = moe_llama.stack_experts_for_gmm(
+            params["layers"]["moe"]["experts"], mcfg, B * T, train=False,
+            ep_shard=True, ep=ep, row_shards=rs)
+        assert st is not None and st["gate_proj"]["kernel"].ndim == 4, \
+            "EP stack must engage with UNRESHAPED [L, E, ...] kernels"
+        y_ep, _, aux_ep = jax.jit(
+            lambda p, v: moe_llama.forward(p, cfg, mcfg, v, train=False,
+                                           ep_shard=True))(ps, xs)
+        jax.block_until_ready(y_ep)
+    _assert_close_modulo_router_ties(y_ep, y_ref)
+    np.testing.assert_allclose(float(aux_ep), float(aux_ref), rtol=1e-4)
+
+    # indivisible rows (S % (data*expert) != 0) refuse the EP stack
+    assert moe_llama.stack_experts_for_gmm(
+        params["layers"]["moe"]["experts"], mcfg, B * T + 2, train=False,
+        ep_shard=True, ep=2, row_shards=4) is None
+    # ep_shard without an expert mesh axis in scope stays conservative
+    assert moe_llama.stack_experts_for_gmm(
+        params["layers"]["moe"]["experts"], mcfg, B * T, train=False,
+        ep_shard=True) is None
+
+
+@pytest.mark.slow
+def test_ep_gmm_decode_matches_single_device(monkeypatch):
+    """int4h decode step under the expert-sharded mesh (the multi-chip
+    serving configuration) matches the single-device decode gmm."""
+    from medplib_tpu.config import MeshConfig
+    from medplib_tpu.parallel.mesh import make_mesh, param_sharding
+    from medplib_tpu.utils.quantize import quantize_tree
+
+    monkeypatch.setenv("MEDPLIB_DECODE_GMM", "1")
+    L, E, H, M, B, T, MAX = 2, 2, 1024, 1536, 8, 5, 8
+    cfg, mcfg, params = _stacked_test_tree(jax.random.PRNGKey(7), L, E, H, M)
+    params["layers"]["moe"]["experts"] = quantize_tree(
+        params["layers"]["moe"]["experts"], skip=(), bits=4, int4_groups=2)
+    ids = jnp.asarray(np.random.default_rng(9).integers(
+        0, cfg.vocab_size, size=(B, T)))
+    embeds = llama.embed(params, ids)
+
+    def decode_last(pp, ep):
+        cache = llama.KVCache.init(cfg, B, MAX, dtype=jnp.float32)
+        _, cache, _ = moe_llama.forward(pp, cfg, mcfg, embeds[:, :-1],
+                                        cache=cache, train=False,
+                                        ep_shard=ep)
+        step, _ = moe_llama.forward_decode(pp, cfg, mcfg, embeds[:, -1:],
+                                           cache, ep_shard=ep)
+        return step
+
+    y1 = np.asarray(jax.jit(lambda p: decode_last(p, False))(params))
+    mesh = make_mesh(MeshConfig(data=2, expert=2, model=2))
+    ps = jax.tree_util.tree_map(jax.device_put, params,
+                                param_sharding(mesh, params))
+    with jax.set_mesh(mesh):
+        y2 = np.asarray(jax.jit(lambda p: decode_last(p, True))(ps))
+    _assert_close_modulo_router_ties(y2, y1)
