@@ -124,6 +124,13 @@ if __name__ == "__main__":
                 run("moe4sort", True, 4, B)
             finally:
                 os.environ.pop("MEDPLIB_DECODE_GMM", None)
+        elif c == "moe4nofuse":
+            # 3-call gmm decode (pre fused-kernel default)
+            os.environ["MEDPLIB_DECODE_FUSED"] = "0"
+            try:
+                run("moe4nofuse", True, 4, B)
+            finally:
+                os.environ.pop("MEDPLIB_DECODE_FUSED", None)
         elif c == "moe8":
             run("moe8", True, 8, B)
     log("done")

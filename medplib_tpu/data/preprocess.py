@@ -14,8 +14,10 @@ ResizeLongestSide matches the vanilla-SAM transform the reference imports
 (segment_anything/utils/transforms.py): PIL bilinear resize of the longest
 side to target, preserving aspect.
 
-These run on CPU in data-loader workers; a fused Pallas preprocess kernel
-covers the serving path (ops/pallas/preprocess.py).
+These run on CPU in data-loader workers (with the C++ fast path in
+medplib_tpu/native). The serving worker can instead run the fused
+DEVICE-side preprocess — resize+pad+normalize as two MXU matmuls —
+in ops/device_preprocess.py (serve/worker.py device_preprocess flag).
 """
 
 from __future__ import annotations

@@ -254,9 +254,24 @@ def _gmm_moe(xs: jnp.ndarray, logits: jnp.ndarray, experts,
     ce = jnp.mean(jax.nn.one_hot(idx, e), axis=0)
     aux = jnp.sum(me * ce) * e
 
+    stacked = gid_offset is not None
+    if stacked and block_m <= 64:
+        # decode tiles: the single fused routing+SwiGLU+combine kernel
+        # (one pallas dispatch and one read of every weight block per
+        # layer) replaces 3 grouped matmuls + their [Sp, M] HBM
+        # intermediates. MEDPLIB_DECODE_FUSED=0 falls back for A/Bs.
+        import os
+        from medplib_tpu.ops.pallas.moe_decode import (
+            fused_decode_eligible, moe_ffn_decode_int4h)
+        if os.environ.get("MEDPLIB_DECODE_FUSED", "1") == "1" and \
+                fused_decode_eligible(experts, e):
+            y = moe_ffn_decode_int4h(
+                xs, experts, idx.astype(jnp.int32), gate_s, gid_offset, e,
+                int8_x=os.environ.get("MEDPLIB_DECODE_A8", "0") == "1")
+            return y.astype(dtype), aux
+
     x_al, dest, tile_gid = align_groups(xs, idx.astype(jnp.int32), e,
                                         block_m)
-    stacked = gid_offset is not None
     if stacked:
         tile_gid = tile_gid + jnp.asarray(gid_offset, jnp.int32)
     out_al = _gmm_ffn(x_al, tile_gid, experts, dtype, block_m, stacked)

@@ -95,8 +95,15 @@ class ModelWorker:
                  stream_interval: int = 2,
                  conv_template: str = "v1",
                  batched_slots: int = 0,
-                 kv_quant: bool = False):
+                 kv_quant: bool = False,
+                 device_preprocess: Optional[bool] = None):
         self.cfg, self.params, self.tok = cfg, params, tokenizer
+        # device preprocess (ops/device_preprocess.py) defaults ON when a
+        # real accelerator backs the worker; CPU-backed tests keep the
+        # host/C++ recipe (identical numerics, no XLA resize compile)
+        if device_preprocess is None:
+            device_preprocess = jax.default_backend() == "tpu"
+        self.device_preprocess = device_preprocess
         self.model_name = model_name
         self.controller_url = controller_url
         self.worker_url = worker_url
@@ -206,10 +213,20 @@ class ModelWorker:
     # ---- generation ----
     def build_sample(self, prompt: str, image_rgb: np.ndarray,
                      region_mask: Optional[np.ndarray]) -> Dict:
-        image_sam, resize_hw = pp.preprocess_sam(image_rgb,
-                                                 self.cfg.sam.image_size)
-        image_clip = pp.preprocess_clip(image_rgb,
-                                        self.cfg.vision.image_size)
+        if self.device_preprocess:
+            # fused on-device resize+pad+normalize (two MXU matmuls,
+            # ops/device_preprocess.py): frees the single host core and
+            # overlaps with the model stream; measured before/after in
+            # the module docstring/README
+            from medplib_tpu.ops.device_preprocess import dual_preprocess
+            image_sam, image_clip, resize_hw = dual_preprocess(
+                image_rgb, self.cfg.sam.image_size,
+                self.cfg.vision.image_size)
+        else:
+            image_sam, resize_hw = pp.preprocess_sam(
+                image_rgb, self.cfg.sam.image_size)
+            image_clip = pp.preprocess_clip(image_rgb,
+                                            self.cfg.vision.image_size)
         ids = tk.tokenizer_image_token(prompt, self.tok)
         sample = {
             "input_ids": np.asarray(ids, np.int64),

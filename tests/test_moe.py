@@ -858,3 +858,85 @@ def test_ep_gmm_decode_matches_single_device(monkeypatch):
     with jax.set_mesh(mesh):
         y2 = np.asarray(jax.jit(lambda p: decode_last(p, True))(ps))
     _assert_close_modulo_router_ties(y2, y1)
+
+
+def test_fused_decode_kernel_matches_gmm_and_sort(monkeypatch):
+    """ops/pallas/moe_decode.moe_ffn_decode_int4h — the one-call routed
+    SwiGLU decode kernel — must match the 3-call gmm decode and the
+    capacity-sort dispatch on a single layer (tight bounds: same math,
+    different fusion), honor the whole-stack layer gid offset, and handle
+    non-16-multiple batch rows via the padding path."""
+    from medplib_tpu.ops import moe as moe_ops
+    from medplib_tpu.ops.pallas.moe_decode import fused_decode_eligible
+    from medplib_tpu.utils.quantize import quantize_tree
+
+    E, H, M, B = 2, 1024, 1536, 8
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 4)
+    experts = {
+        "gate_proj": {"kernel": jax.random.normal(ks[0], (2, E, H, M))
+                      * H ** -0.5},
+        "up_proj": {"kernel": jax.random.normal(ks[1], (2, E, H, M))
+                    * H ** -0.5},
+        "down_proj": {"kernel": jax.random.normal(ks[2], (2, E, M, H))
+                      * M ** -0.5},
+    }
+    experts = quantize_tree(experts, skip=(), bits=4, int4_groups=2)
+    mcfg = MoeConfig(enable=True, num_experts=E, top_k=1,
+                     eval_capacity_factor=2.0)
+    st = moe_llama.stack_experts_for_gmm(experts, mcfg, B, train=False,
+                                         ep_shard=False, decode=True)
+    assert st is not None and fused_decode_eligible(st, E)
+    router = jax.random.normal(ks[3], (H, E)) * H ** -0.5
+    x = jax.random.normal(jax.random.fold_in(key, 9), (B, 1, H)) * 0.1
+    mp = {"router": {"kernel": router}, "experts": st, "gid_offset": 0,
+          "gmm_block_m": 32}
+
+    def run(v):
+        return np.asarray(jax.jit(
+            lambda xv: moe_ops.moe_mlp(mp, xv, mcfg, train=False,
+                                       dispatch_mode="gmm")[0])(v))
+
+    monkeypatch.setenv("MEDPLIB_DECODE_FUSED", "0")
+    y_gmm = run(x)
+    monkeypatch.setenv("MEDPLIB_DECODE_FUSED", "1")
+    y_f = run(x)
+    # same math, different fusion: bf16 reassociation only
+    assert np.abs(y_f - y_gmm).max() < 5e-4
+    rel = np.linalg.norm(y_f - y_gmm) / np.linalg.norm(y_gmm)
+    assert rel < 0.01, rel
+
+    mp0 = {"router": {"kernel": router},
+           "experts": {k: {kk: vv[0] for kk, vv in n.items()}
+                       for k, n in experts.items()}}
+    y_s = np.asarray(jax.jit(
+        lambda xv: moe_ops.moe_mlp(mp0, xv, mcfg, train=False,
+                                   dispatch_mode="sort")[0])(x))
+    rel = np.linalg.norm(y_f - y_s) / np.linalg.norm(y_s)
+    assert rel < 0.01, rel
+
+    # layer-1 gid offset must select the second layer's experts: compare
+    # against sort on layer 1
+    mp1 = dict(mp, gid_offset=1 * E)
+    monkeypatch.setenv("MEDPLIB_DECODE_FUSED", "1")
+    y1 = np.asarray(jax.jit(
+        lambda xv: moe_ops.moe_mlp(mp1, xv, mcfg, train=False,
+                                   dispatch_mode="gmm")[0])(x))
+    mp0b = {"router": {"kernel": router},
+            "experts": {k: {kk: vv[1] for kk, vv in n.items()}
+                        for k, n in experts.items()}}
+    y1_s = np.asarray(jax.jit(
+        lambda xv: moe_ops.moe_mlp(mp0b, xv, mcfg, train=False,
+                                   dispatch_mode="sort")[0])(x))
+    rel = np.linalg.norm(y1 - y1_s) / np.linalg.norm(y1_s)
+    assert rel < 0.01, rel
+    # layer 1 differs from layer 0 (the offset actually moved the window)
+    assert np.linalg.norm(y1 - y_f) / np.linalg.norm(y_f) > 0.1
+
+    # odd batch (row padding path): B=3
+    x3 = x[:3]
+    monkeypatch.setenv("MEDPLIB_DECODE_FUSED", "0")
+    y3_gmm = run(x3)
+    monkeypatch.setenv("MEDPLIB_DECODE_FUSED", "1")
+    y3_f = run(x3)
+    assert np.abs(y3_f - y3_gmm).max() < 5e-4
