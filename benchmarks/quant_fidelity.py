@@ -170,9 +170,11 @@ def main():
             cfg, params = build(L, ebits, abits)
             if name.endswith("_a8dec"):
                 os.environ["MEDPLIB_DECODE_A8"] = "1"
+            # 32L int8+int8 leaves no room for B=4 logit capture on 16 GB
+            b_eff = args.b if L <= 8 else min(args.b, 2)
             try:
                 out = run_variant(cfg, params, ref_tokens, args.steps,
-                                  args.b, args.t)
+                                  b_eff, args.t)
             finally:
                 os.environ.pop("MEDPLIB_DECODE_A8", None)
             del params

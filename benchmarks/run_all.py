@@ -269,7 +269,14 @@ def bench_train(tiny: bool):
         jax.block_until_ready(params)
     params["llm"] = lora_lib.inject(jax.random.PRNGKey(1), params["llm"],
                                     ("q_proj", "v_proj"), r=8)
-    B, T = (2, 16) if tiny else (2, 48)
+    # STAGE-3-SHAPED by default (VERDICT r3 #5): the reference stage-3
+    # recipe is bs 32/GPU at ctx >= 512 (train_stage3.sh:7-37); B=8/T=512
+    # (spliced ~1087 tokens/sample with the image) is the largest
+    # single-chip analog that fits 16 GB with remat + donation.
+    # BENCH_TRAIN_B/T override; BENCH_TRAIN_STEPS=50 adds the descent run.
+    B, T = (2, 16) if tiny else (
+        int(os.environ.get("BENCH_TRAIN_B", "8")),
+        int(os.environ.get("BENCH_TRAIN_T", "512")))
     import __graft_entry__ as ge
     batch = ge._make_batch(cfg, B=B, T=T, rng=np.random.default_rng(0))
     batches = jax.tree_util.tree_map(
@@ -292,6 +299,31 @@ def bench_train(tiny: bool):
     toks = B * (T - 1 + cfg.vision.num_patches)
     _report(6, "train_step_throughput", toks / dt, "tok/s")
     _report(6, "train_loss_finite", float(np.isfinite(loss)), "bool")
+    if not tiny:
+        # train MFU: QLoRA backward ~ 3x the forward matmul FLOPs (fwd +
+        # remat-recompute + dL/dx chain; frozen dW skipped, LoRA dW
+        # negligible) on the spliced token count
+        from medplib_tpu.utils import profiling as prof
+        seq = T - 1 + cfg.vision.num_patches
+        fpt = 3.0 * prof.llama_flops_per_token(
+            cfg.llm.hidden_size, cfg.llm.num_layers,
+            cfg.llm.intermediate_size, cfg.vocab_size_padded, seq)
+        _report(6, "train_mfu", prof.mfu(toks / dt, fpt), "frac")
+    steps = int(os.environ.get("BENCH_TRAIN_STEPS", "0"))
+    if steps:
+        # synthetic descent run: one fixed batch, smoothed loss must fall
+        # monotonically (LoRA + heads actually learn through the frozen
+        # quantized base)
+        losses = []
+        for _ in range(steps):
+            state, metrics = step(state, batches)
+            losses.append(float(metrics["loss"]))
+        k = max(5, steps // 10)
+        smooth = np.convolve(losses, np.ones(k) / k, mode="valid")
+        mono = bool(np.all(np.diff(smooth) <= 1e-4))
+        _report(6, "train_loss_descent_monotone", float(mono), "bool")
+        _report(6, "train_loss_first_last",
+                round(losses[0] - losses[-1], 4), "delta")
 
 
 def bench_long_context(tiny: bool):
@@ -434,9 +466,101 @@ def bench_ttft_buckets(tiny: bool):
                 sorted(times)[len(times) // 2] * 1e3, "ms")
 
 
+def bench_ttft_load(tiny: bool):
+    """Config 10 (VERDICT r3 #4): p50/p99 TTFT measured UNDER LOAD — the
+    engine keeps (slots-1) long decodes running while probe requests
+    stream in; each probe's TTFT = submit() -> first chunk at the client.
+    This is the loaded counterpart of config 2/9's idle TTFT and covers
+    the reference worker's concurrency surface (model_worker.py:577-592
+    semaphore). Also reports the decode-stall bound: the longest gap
+    between consecutive chunk deliveries of a BACKGROUND request during
+    probe admissions, in decode-chunk units — the number that decides
+    whether chunked prefill interleaving is needed (>1 chunk = stall)."""
+    import threading
+
+    import __graft_entry__ as ge
+    from medplib_tpu.serve.engine import BatchedEngine
+
+    if tiny:
+        cfg = _cfg(True, 2)
+        params = _params(cfg, jnp.float32)
+        slots, new, T, probes = 2, 64, 16, 3
+    else:
+        cfg = _cfg(False, 32)
+        params = _params(cfg, jnp.bfloat16)
+        from medplib_tpu.utils import quantize as qz
+        params = qz.quantize_tree(params)
+        jax.block_until_ready(params)
+        slots = int(os.environ.get("BENCH_TTFT_SLOTS", "8"))
+        new, T, probes = 512, 48, 12
+
+    rng = np.random.default_rng(0)
+
+    def mk_batch(i, width=T):
+        b = ge._make_batch(cfg, B=1, T=width, rng=rng)
+        ids = np.array(b.input_ids)
+        ids[0, 5] = 100 + i
+        ids[0, width - 3] = 7
+        return b._replace(input_ids=jnp.asarray(ids))
+
+    eng = BatchedEngine(cfg, params, slots=slots, max_new_tokens=new,
+                        chunk=8, kv_quant=not tiny)
+    try:
+        warm = eng.submit(mk_batch(0), temperature=0.0,
+                          max_new_tokens=8)
+        warm.tokens()   # compile prefill/insert/decode before timing
+
+        # background load: slots-1 long decodes; record their chunk
+        # arrival gaps to expose probe-admission stalls
+        gaps = []
+
+        def consume(r):
+            last = time.time()
+            for _ in r:
+                now = time.time()
+                gaps.append(now - last)
+                last = now
+
+        bg = [eng.submit(mk_batch(1 + i), temperature=0.0,
+                         max_new_tokens=new)
+              for i in range(slots - 1)]
+        threads = [threading.Thread(target=consume, args=(r,), daemon=True)
+                   for r in bg]
+        for t in threads:
+            t.start()
+        time.sleep(0.5)  # load reaches steady decode
+
+        ttfts = []
+        for i in range(probes):
+            t0 = time.time()
+            r = eng.submit(mk_batch(100 + i), temperature=0.0,
+                           max_new_tokens=16)
+            for _first in r:
+                ttfts.append(time.time() - t0)
+                break
+            r.cancel()
+            r.tokens()
+        for r in bg:
+            r.cancel()
+        for t in threads:
+            t.join(timeout=60)
+    finally:
+        eng.shutdown()
+    ttfts.sort()
+    _report(10, f"ttft_p50_loaded_{slots}slots", ttfts[len(ttfts) // 2]
+            * 1e3, "ms")
+    _report(10, f"ttft_p99_loaded_{slots}slots", ttfts[-1] * 1e3, "ms")
+    if gaps:
+        # steady-state chunk period ~= median gap; stall bound in chunks
+        gaps.sort()
+        period = gaps[len(gaps) // 2]
+        _report(10, "bg_decode_stall_max_chunks",
+                gaps[-1] / max(period, 1e-6), "chunks")
+
+
 BENCHES = {1: bench_clip, 2: bench_vqa, 3: bench_region, 4: bench_seg,
            5: bench_icl, 6: bench_train, 7: bench_long_context,
-           8: bench_engine, 9: bench_ttft_buckets}
+           8: bench_engine, 9: bench_ttft_buckets, 10: bench_ttft_load}
 
 
 def main(argv=None):
