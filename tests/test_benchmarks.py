@@ -5,7 +5,7 @@ import subprocess
 import sys
 
 
-def test_run_all_tiny_emits_five_configs():
+def test_run_all_tiny_emits_all_configs():
     r = subprocess.run(
         [sys.executable, "benchmarks/run_all.py", "--tiny"],
         capture_output=True, text=True, timeout=900, cwd="/root/repo",
@@ -15,5 +15,5 @@ def test_run_all_tiny_emits_five_configs():
     rows = [json.loads(line) for line in r.stdout.splitlines()
             if line.startswith("{")]
     configs = {row["config"] for row in rows}
-    assert configs == {1, 2, 3, 4, 5, 6, 7, 8, 9}
+    assert configs == {1, 2, 3, 4, 5, 6, 7, 8, 9, 10}
     assert all(row["value"] > 0 for row in rows)

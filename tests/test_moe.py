@@ -834,6 +834,10 @@ def test_ep_gmm_decode_matches_single_device(monkeypatch):
     from medplib_tpu.utils.quantize import quantize_tree
 
     monkeypatch.setenv("MEDPLIB_DECODE_GMM", "1")
+    # pin the single-device side to the SAME 3-call gmm formulation the EP
+    # shard_map runs — this test isolates sharding equivalence; the fused
+    # A8 kernel (default on single shard) is covered by its own test
+    monkeypatch.setenv("MEDPLIB_DECODE_FUSED", "0")
     L, E, H, M, B, T, MAX = 2, 2, 1024, 1536, 8, 5, 8
     cfg, mcfg, params = _stacked_test_tree(jax.random.PRNGKey(7), L, E, H, M)
     params["layers"]["moe"]["experts"] = quantize_tree(
@@ -897,6 +901,7 @@ def test_fused_decode_kernel_matches_gmm_and_sort(monkeypatch):
             lambda xv: moe_ops.moe_mlp(mp, xv, mcfg, train=False,
                                        dispatch_mode="gmm")[0])(v))
 
+    monkeypatch.setenv("MEDPLIB_DECODE_A8", "0")  # bf16-x for tight bounds
     monkeypatch.setenv("MEDPLIB_DECODE_FUSED", "0")
     y_gmm = run(x)
     monkeypatch.setenv("MEDPLIB_DECODE_FUSED", "1")
@@ -940,3 +945,10 @@ def test_fused_decode_kernel_matches_gmm_and_sort(monkeypatch):
     monkeypatch.setenv("MEDPLIB_DECODE_FUSED", "1")
     y3_f = run(x3)
     assert np.abs(y3_f - y3_gmm).max() < 5e-4
+
+    # A8 mode (the serving default): s8 MXU dots with per-row/per-block
+    # act quant — looser bound (A8 rounding), same routing/combine
+    monkeypatch.setenv("MEDPLIB_DECODE_A8", "1")
+    y_a8 = run(x)
+    rel = np.linalg.norm(y_a8 - y_gmm) / np.linalg.norm(y_gmm)
+    assert rel < 0.03, rel
