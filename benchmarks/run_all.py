@@ -94,6 +94,28 @@ def bench_clip(tiny: bool):
     _report(1, "clip_preprocess", pre_ms, "ms/image")
     _report(1, "clip_encode", dt * 1e3, "ms/image")
 
+    if not tiny:
+        # device-preprocess A/B (VERDICT r3 #7): the fused on-chip
+        # resize+pad+normalize (ops/device_preprocess.py, the serving
+        # worker's default on TPU) vs the host path above — end-to-end
+        # per image including the uint8 canvas memcpy + H2D transfer
+        from medplib_tpu.ops.device_preprocess import dual_preprocess
+        sam, clp, _ = dual_preprocess(img)          # compile (one bucket)
+        jax.block_until_ready((sam, clp))
+        t0 = time.time()
+        for _ in range(n):
+            sam, clp, _ = dual_preprocess(img)
+            jax.block_until_ready((sam, clp))
+        _report(1, "dual_preprocess_device",
+                (time.time() - t0) / n * 1e3, "ms/image")
+        # host dual (SAM+CLIP) for the same contract, same image
+        t0 = time.time()
+        for _ in range(n):
+            pp.preprocess_sam(img, 256)
+            pp.preprocess_clip(img, size)
+        _report(1, "dual_preprocess_host",
+                (time.time() - t0) / n * 1e3, "ms/image")
+
 
 def _vqa_batch(cfg, B, T, n_seg=0, region=False):
     import __graft_entry__ as ge
@@ -492,7 +514,10 @@ def bench_ttft_load(tiny: bool):
         params = qz.quantize_tree(params)
         jax.block_until_ready(params)
         slots = int(os.environ.get("BENCH_TTFT_SLOTS", "8"))
-        new, T, probes = 512, 48, 12
+        # BENCH_TTFT_T widens the PROMPT (spliced length ~= T + 575): at
+        # T=48 the prefill is ~1 decode chunk and chunking has nothing to
+        # slice; long-prompt deployments (ICL) are where it pays
+        new, T, probes = 512, int(os.environ.get("BENCH_TTFT_T", "48")), 12
 
     rng = np.random.default_rng(0)
 
@@ -503,22 +528,38 @@ def bench_ttft_load(tiny: bool):
         ids[0, width - 3] = 7
         return b._replace(input_ids=jnp.asarray(ids))
 
+    # BENCH_TTFT_PREFILL_CHUNK=<tokens> turns on chunked-prefill
+    # interleaving (serve/engine.py): an admission's ~620-token spliced
+    # prefill is split into extends with a shared-batch decode chunk
+    # between them — the knob that shrinks bg_decode_stall_max_chunks
+    pc = int(os.environ.get("BENCH_TTFT_PREFILL_CHUNK", "0")) or None
     eng = BatchedEngine(cfg, params, slots=slots, max_new_tokens=new,
-                        chunk=8, kv_quant=not tiny)
+                        chunk=8, kv_quant=not tiny, prefill_chunk=pc)
     try:
         warm = eng.submit(mk_batch(0), temperature=0.0,
                           max_new_tokens=8)
         warm.tokens()   # compile prefill/insert/decode before timing
 
         # background load: slots-1 long decodes; record their chunk
-        # arrival gaps to expose probe-admission stalls
+        # arrival gaps to expose probe-admission stalls. Gaps are only
+        # counted once the PROBE phase starts (probe_t0) — the bg ramp-up
+        # wave (the last of slots-1 serialized admissions waits behind all
+        # earlier ones for its first chunk) is an artifact of the wave
+        # submit, not a serving stall, and it previously dominated the max
         gaps = []
+        probe_t0 = [float("inf")]
+        started = set()
 
         def consume(r):
             last = time.time()
+            first = True
             for _ in r:
                 now = time.time()
-                gaps.append(now - last)
+                if first:
+                    started.add(id(r))
+                    first = False
+                if last >= probe_t0[0]:
+                    gaps.append(now - last)
                 last = now
 
         bg = [eng.submit(mk_batch(1 + i), temperature=0.0,
@@ -529,6 +570,9 @@ def bench_ttft_load(tiny: bool):
         for t in threads:
             t.start()
         time.sleep(0.5)  # load reaches steady decode
+        while len(started) < slots - 1:
+            time.sleep(0.2)  # every bg stream delivering (ramp complete)
+        probe_t0[0] = time.time()
 
         ttfts = []
         for i in range(probes):
@@ -551,11 +595,15 @@ def bench_ttft_load(tiny: bool):
             * 1e3, "ms")
     _report(10, f"ttft_p99_loaded_{slots}slots", ttfts[-1] * 1e3, "ms")
     if gaps:
-        # steady-state chunk period ~= median gap; stall bound in chunks
+        # steady-state chunk period ~= median gap; stall bound in chunks.
+        # ALSO absolute: the ratio's denominator shifts when interleaved
+        # short chunks add many small gaps, so the ms number is the
+        # comparable one across prefill_chunk modes
         gaps.sort()
         period = gaps[len(gaps) // 2]
         _report(10, "bg_decode_stall_max_chunks",
                 gaps[-1] / max(period, 1e-6), "chunks")
+        _report(10, "bg_decode_stall_max", gaps[-1] * 1e3, "ms")
 
 
 BENCHES = {1: bench_clip, 2: bench_vqa, 3: bench_region, 4: bench_seg,

@@ -458,6 +458,77 @@ def forward_decode(
                       k_scale=kss, v_scale=vss)
 
 
+def forward_extend(
+    params: Params,
+    cfg: LlamaConfig,
+    input_embeds: jnp.ndarray,
+    cache: KVCache,
+    c0: jnp.ndarray,
+    mlp_apply: MlpApply = dense_mlp_layer,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """CHUNKED-PREFILL extend: append C prompt tokens at absolute positions
+    [c0, c0+C) to a (possibly partially filled) cache and attend each query
+    causally to everything written so far — the serving engine dispatches
+    these chunks interleaved with shared-batch decode chunks so one
+    request's prefill does not stall every in-flight stream for its whole
+    length (reference concurrency surface: model_worker.py:577-592).
+
+    input_embeds [B, C, H]; c0 is a traced scalar (ONE compiled program
+    serves every chunk position). cache.length is NOT advanced — the
+    caller sets it from the prompt mask after the last chunk
+    (medplib.stream_prefill_finish). Same in-place carry-scatter cache
+    discipline as forward_decode (the restack trap documented there)."""
+    from medplib_tpu.ops.attention import (extend_attention,
+                                           extend_attention_quant,
+                                           quantize_kv)
+
+    b, c, _ = input_embeds.shape
+    positions = jnp.broadcast_to(c0 + jnp.arange(c)[None], (b, c))
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    quant = cache.quantized
+
+    def body(carry, layer_in):
+        x, ks, vs, kss, vss = carry
+        layer_p, i = layer_in
+        h = rms_norm(x, layer_p["input_layernorm"]["weight"],
+                     cfg.rms_norm_eps)
+        q, k, v = _qkv(layer_p["attn"], h, cfg, cos, sin)
+        if quant:
+            kq, ksc = quantize_kv(k)     # [B, C, KV, D] / [B, C, KV, 1]
+            vq, vsc = quantize_kv(v)
+            ks = jax.lax.dynamic_update_slice(ks, kq[None], (i, 0, c0, 0, 0))
+            vs = jax.lax.dynamic_update_slice(vs, vq[None], (i, 0, c0, 0, 0))
+            kss = jax.lax.dynamic_update_slice(kss, ksc[None],
+                                               (i, 0, c0, 0, 0))
+            vss = jax.lax.dynamic_update_slice(vss, vsc[None],
+                                               (i, 0, c0, 0, 0))
+            idx = lambda a: jax.lax.dynamic_index_in_dim(  # noqa: E731
+                a, i, 0, keepdims=False)
+            attn = extend_attention_quant(q, idx(ks), idx(kss), idx(vs),
+                                          idx(vss), c0)
+        else:
+            ks = jax.lax.dynamic_update_slice(
+                ks, k[None].astype(ks.dtype), (i, 0, c0, 0, 0))
+            vs = jax.lax.dynamic_update_slice(
+                vs, v[None].astype(vs.dtype), (i, 0, c0, 0, 0))
+            k_c = jax.lax.dynamic_index_in_dim(ks, i, 0, keepdims=False)
+            v_c = jax.lax.dynamic_index_in_dim(vs, i, 0, keepdims=False)
+            attn = extend_attention(q.astype(k_c.dtype), k_c, v_c, c0)
+        x = x + lora_linear(layer_p["attn"]["o_proj"],
+                            attn.astype(x.dtype).reshape(b, c, -1))
+        h = rms_norm(x, layer_p["post_attention_layernorm"]["weight"],
+                     cfg.rms_norm_eps)
+        y, _ = mlp_apply(layer_p, h)
+        return (x + y, ks, vs, kss, vss), ()
+
+    (x, ks, vs, kss, vss), _ = jax.lax.scan(
+        body, (input_embeds, cache.k, cache.v, cache.k_scale, cache.v_scale),
+        (params["layers"], jnp.arange(cfg.num_layers)))
+    x = rms_norm(x, params["norm"]["weight"], cfg.rms_norm_eps)
+    return x, KVCache(k=ks, v=vs, length=cache.length,
+                      k_scale=kss, v_scale=vss)
+
+
 def embed(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
     """Token ids -> embeddings; negative sentinel ids (IMAGE_TOKEN_INDEX etc.)
     are clamped to 0 — callers overwrite those positions with spliced

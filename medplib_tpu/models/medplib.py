@@ -580,6 +580,126 @@ def stream_decode_chunk(params: Params, cfg: MedplibConfig,
     return new_state, jnp.moveaxis(toks, 0, 1), jnp.moveaxis(dones, 0, 1)
 
 
+# ---------------------------------------------------------------------------
+# CHUNKED prefill (serving): the prompt is prefilled in fixed-size chunks so
+# the engine can interleave shared-batch decode chunks between them — one
+# admission's ~600-1100-token spliced prefill no longer stalls every
+# in-flight stream for its whole length (the loaded-TTFT surface of the
+# reference worker, model_worker.py:577-592). Three jit-able pieces:
+# begin (splice + empty cache) -> N x chunk (extend) -> finish (first token).
+# ---------------------------------------------------------------------------
+
+class PrefillCarry(NamedTuple):
+    cache: Any                # llama.KVCache (length stays 0 until finish)
+    seg_emb: jnp.ndarray      # [B, S, out_dim] prompt SEG slots so far
+    seg_count: jnp.ndarray    # [B]
+    last_hidden: jnp.ndarray  # [B, H] hidden at each row's last valid pos
+
+
+def stream_prefill_begin(params: Params, cfg: MedplibConfig, batch: Batch,
+                         max_new_tokens: int, chunk_tokens: int,
+                         rp_flag: bool = False, max_segs: int = 1,
+                         kv_quant: bool = False,
+                         cache_len: Optional[int] = None):
+    """Splice the prompt and init an empty cache for chunked prefill ->
+    (embeds, attn_mask, seg_mask, carry). embeds/masks are padded up to a
+    whole number of chunks (padding queries write garbage K/V past every
+    row's true length — never read, decode masks by cache.length)."""
+    b = batch.input_ids.shape[0]
+    embeds, _, attn_mask, seg_mask, _ = splice_batch(params, cfg, batch,
+                                                     need_region=rp_flag)
+    n = -(-embeds.shape[1] // chunk_tokens)
+    pad = n * chunk_tokens - embeds.shape[1]
+    if pad:
+        embeds = jnp.pad(embeds, ((0, 0), (0, pad), (0, 0)))
+        attn_mask = jnp.pad(attn_mask, ((0, 0), (0, pad)))
+        seg_mask = jnp.pad(seg_mask, ((0, 0), (0, pad)))
+    maxlen = max(cache_len or (embeds.shape[1] + max_new_tokens),
+                 n * chunk_tokens)
+    cache = llama.KVCache.init(cfg.llm, b, maxlen, dtype=embeds.dtype,
+                               quant=kv_quant)
+    h = embeds.shape[-1]
+    out_dim = params["text_hidden_fcs"]["fc2"]["kernel"].shape[1]
+    carry = PrefillCarry(
+        cache=cache,
+        seg_emb=jnp.zeros((b, max_segs, out_dim), embeds.dtype),
+        seg_count=jnp.zeros((b,), jnp.int32),
+        last_hidden=jnp.zeros((b, h), embeds.dtype))
+    return embeds, attn_mask, seg_mask, carry
+
+
+def _llm_extend(params, cfg: MedplibConfig, embeds, cache, c0,
+                ep_shard=False):
+    if cfg.moe.enable:
+        return moe_llama.forward_extend(params["llm"], cfg.llm, cfg.moe,
+                                        embeds, cache, c0,
+                                        ep_shard=ep_shard)
+    return llama.forward_extend(params["llm"], cfg.llm, embeds, cache, c0)
+
+
+def stream_prefill_chunk(params: Params, cfg: MedplibConfig,
+                         carry: PrefillCarry, embeds: jnp.ndarray,
+                         attn_mask: jnp.ndarray, seg_mask: jnp.ndarray,
+                         c0: jnp.ndarray, chunk_tokens: int,
+                         ep_shard: bool = False) -> PrefillCarry:
+    """Process prompt positions [c0, c0+chunk_tokens): extend the cache,
+    fold the chunk's prompt-SEG captures into the slots IN SEQUENCE ORDER,
+    and track each row's last-valid-position hidden. c0 is traced — one
+    compiled program per (batch, chunk) shape."""
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(  # noqa: E731
+        a, c0, chunk_tokens, axis=1)
+    hidden, cache = _llm_extend(params, cfg, sl(embeds), carry.cache, c0,
+                                ep_shard=ep_shard)
+    max_segs = carry.seg_emb.shape[1]
+    proj = text_hidden_fcs(params["text_hidden_fcs"], hidden)
+    p_emb, p_valid, _ = splice_ops.gather_seg_embeddings(
+        proj, sl(seg_mask).astype(bool), max_segs)
+    seg_emb, seg_count = carry.seg_emb, carry.seg_count
+    for j in range(max_segs):  # static, small; appends preserve order
+        seg_emb, seg_count = _seg_slot_write(seg_emb, seg_count,
+                                             p_emb[:, j], p_valid[:, j])
+    last_idx = jnp.maximum(jnp.sum(attn_mask, -1).astype(jnp.int32) - 1, 0)
+    li = jnp.clip(jnp.minimum(last_idx, c0 + chunk_tokens - 1) - c0,
+                  0, chunk_tokens - 1)
+    lh = jnp.take_along_axis(hidden, li[:, None, None], axis=1)[:, 0]
+    in_chunk = (last_idx >= c0)[:, None]
+    last_hidden = jnp.where(in_chunk, lh.astype(carry.last_hidden.dtype),
+                            carry.last_hidden)
+    return PrefillCarry(cache=cache, seg_emb=seg_emb, seg_count=seg_count,
+                        last_hidden=last_hidden)
+
+
+def stream_prefill_finish(params: Params, cfg: MedplibConfig,
+                          carry: PrefillCarry, attn_mask: jnp.ndarray,
+                          do_sample: bool = False, temperature=1.0,
+                          top_p=1.0,
+                          rng: Optional[jax.Array] = None) -> StreamState:
+    """Sample the first token from the chunked-prefill carry and seal the
+    cache (length := prompt row sums). Semantics match stream_prefill:
+    prompt SEGs already captured chunk-by-chunk; a first-generated-token
+    SEG captures this step's hidden."""
+    from medplib_tpu.ops import sampling
+
+    b = attn_mask.shape[0]
+    last_hidden = carry.last_hidden[:, None]
+    key = sampling.row_keys(
+        rng if rng is not None else jax.random.PRNGKey(0), b)
+    key, sub = sampling.split_rows(key)
+    next_tok = sampling.select_token(
+        llama.logits(params["llm"], last_hidden)[:, 0], sub, do_sample,
+        temperature, top_p)
+    first_cap = text_hidden_fcs(params["text_hidden_fcs"], last_hidden)[:, 0]
+    seg_emb, seg_count = _seg_slot_write(
+        carry.seg_emb, carry.seg_count, first_cap,
+        next_tok == cfg.seg_token_idx)
+    cache = carry.cache._replace(
+        length=jnp.sum(attn_mask.astype(jnp.int32), axis=-1))
+    return StreamState(cache=cache, tok=next_tok,
+                       done=jnp.zeros((b,), bool), seg_emb=seg_emb,
+                       seg_count=seg_count,
+                       last_cap=first_cap.astype(seg_emb.dtype), rng=key)
+
+
 def ground_seg_slots(params: Params, cfg: MedplibConfig,
                      images_sam: jnp.ndarray, seg_emb: jnp.ndarray,
                      seg_count: jnp.ndarray, last_cap: jnp.ndarray,

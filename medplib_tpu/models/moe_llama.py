@@ -317,6 +317,36 @@ def forward_decode(params: Params, cfg: LlamaConfig, moe_cfg: MoeConfig,
                                 unroll)
 
 
+def forward_extend(params: Params, cfg: LlamaConfig, moe_cfg: MoeConfig,
+                   input_embeds, cache, c0, ep_shard: bool = False):
+    """Chunked-prefill extend with the MoE MLP: the chunk's B*C tokens
+    route through the same whole-stack gmm dispatch as prefill
+    (stack_experts_for_gmm at S = B*C) — one expert-stack operand shared
+    across the layer scan, no per-layer slice copies."""
+    flags = moe_flags(cfg, moe_cfg)
+    stacked = None
+    ep, row_shards = mesh_ep_shards() if ep_shard else (1, 1)
+    if os.environ.get("MEDPLIB_STACK_MOE", "1") == "1" and \
+            bool(np.all(flags == 1)):
+        b, t = input_embeds.shape[:2]
+        stacked = stack_experts_for_gmm(
+            params["layers"]["moe"]["experts"], moe_cfg, b * t, train=False,
+            ep_shard=ep_shard, ep=ep, row_shards=row_shards)
+    mlp_apply = make_moe_mlp_apply(cfg, moe_cfg, train=False,
+                                   ep_shard=ep_shard,
+                                   stacked_experts=stacked,
+                                   ep_size=ep if stacked is not None else 1)
+    p = _with_flags(params, cfg, moe_cfg)
+    if stacked is not None:
+        layers = dict(p["layers"])
+        moe = dict(layers["moe"])
+        del moe["experts"]
+        layers["moe"] = moe
+        layers["layer_idx"] = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+        p["layers"] = layers
+    return llama.forward_extend(p, cfg, input_embeds, cache, c0, mlp_apply)
+
+
 def build_experts_from_donors(donor_mlp_stacks) -> Params:
     """Expert surgery (medplib_moe_llama.py:536-561): expert e of every MoE
     layer is initialized from donor checkpoint e's dense MLP weights

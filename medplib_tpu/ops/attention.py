@@ -142,6 +142,57 @@ def decode_attention_quant(
     return jnp.einsum("bhts,bshd->bthd", probs, v)
 
 
+def extend_attention(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    c0: jnp.ndarray,
+) -> jnp.ndarray:
+    """Chunked-prefill extend: q [B, C, H, D] holds the chunk of prompt
+    tokens at absolute positions [c0, c0+C); the chunk's K/V are already
+    written into the cache [B, MAX, KV, D]. Each query attends causally to
+    cache positions <= its own (prompts are left-aligned, so keys past a
+    row's true length are only reachable by padding queries, whose outputs
+    are never read downstream)."""
+    n_rep = q.shape[2] // k_cache.shape[2]
+    k = _repeat_kv(k_cache, n_rep)
+    v = _repeat_kv(v_cache, n_rep)
+    d = q.shape[-1]
+    logits = jnp.einsum("bthd,bshd->bhts", q, k,
+                        preferred_element_type=jnp.float32) * (d ** -0.5)
+    pos = jnp.arange(k.shape[1])[None, None, None, :]
+    qpos = (c0 + jnp.arange(q.shape[1])).reshape(1, 1, -1, 1)
+    logits = jnp.where(pos <= qpos, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhts,bshd->bthd", probs, v)
+
+
+def extend_attention_quant(
+    q: jnp.ndarray,
+    k_q: jnp.ndarray, k_s: jnp.ndarray,
+    v_q: jnp.ndarray, v_s: jnp.ndarray,
+    c0: jnp.ndarray,
+) -> jnp.ndarray:
+    """extend_attention over an int8 KV cache (decode_attention_quant's
+    post-dot scale trick, generalized to C queries with per-query causal
+    masks)."""
+    n_rep = q.shape[2] // k_q.shape[2]
+    k = _repeat_kv(k_q.astype(q.dtype), n_rep)
+    v = _repeat_kv(v_q.astype(q.dtype), n_rep)
+    ks = jnp.moveaxis(_repeat_kv(k_s, n_rep), (1, 2, 3), (3, 1, 2))
+    vs = jnp.moveaxis(_repeat_kv(v_s, n_rep), (1, 2, 3), (3, 1, 2))
+    d = q.shape[-1]
+    logits = jnp.einsum("bthd,bshd->bhts", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits * ks.astype(jnp.float32) * (d ** -0.5)
+    pos = jnp.arange(k.shape[1])[None, None, None, :]
+    qpos = (c0 + jnp.arange(q.shape[1])).reshape(1, 1, -1, 1)
+    logits = jnp.where(pos <= qpos, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = (probs * vs.astype(jnp.float32)).astype(q.dtype)
+    return jnp.einsum("bhts,bshd->bthd", probs, v)
+
+
 def quantize_kv(x: jnp.ndarray):
     """[..., D] -> (int8 values, f32 scale [..., 1]); symmetric absmax per
     leading index (per token per head for cache writes)."""

@@ -27,7 +27,14 @@ matrices are built INSIDE jit from traced (h, w) scalars:
 Numerics: PIL evaluates the same filter in 8.8 fixed point, so agreement
 is ~1 LSB of uint8 (tests bound max |Δ| against the host path at 2/255
 pre-normalize). The training loader keeps the exact host/C++ recipe; this
-path is for serving (serve/worker.py device_preprocess=True).
+path is opt-in for serving (serve/worker.py device_preprocess=True).
+
+MEASURED (run_all.py config 1, 1024px image, v5e-1 behind the axon
+tunnel): 113.9 ms/image end-to-end vs 14.9 ms host — the uint8 canvas
+H2D (3 MB) + dispatch round trips through the TUNNEL dominate, so the
+worker defaults to the host path there. On a local PCIe-attached chip
+the same transfer is ~1 ms and this path frees the host core; flip the
+worker flag after measuring on that topology.
 """
 
 from __future__ import annotations

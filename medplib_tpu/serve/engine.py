@@ -67,6 +67,7 @@ class Request:
         self.steps = 0     # decode steps consumed (KV-cache budget)
         self.error: Optional[BaseException] = None
         self.cancelled = False
+        self._skip = 0     # already-delivered tokens to drop from the chunk
         self._seg = None      # (seg_emb [1,S,H], seg_count [1], last_cap [1,H])
         self._engine: Optional["BatchedEngine"] = None
 
@@ -109,7 +110,9 @@ class BatchedEngine:
                  max_new_tokens: int = 256, chunk: int = 8, eos_id: int = 2,
                  group_admission: bool = False,
                  max_prompt_len: Optional[int] = None,
-                 kv_quant: bool = False):
+                 kv_quant: bool = False,
+                 prefill_chunk: Optional[int] = None,
+                 interleave_steps: Optional[int] = None):
         """`group_admission=True` prefills pending requests together in one
         padded power-of-2 batch. Measured on v5e-1 through the axon tunnel
         (7B int8, 8 slots, 16 VQA requests x 32 tokens): per-request
@@ -124,7 +127,19 @@ class BatchedEngine:
         smallest bucket that fits, so short VQA prompts skip most of the
         max-width prefill cost); their KV states are padded up to the shared
         slot shape at insert. None keeps the legacy contract — the first
-        request's shape defines the engine's only accepted shape."""
+        request's shape defines the engine's only accepted shape.
+
+        `prefill_chunk` (tokens) enables CHUNKED-PREFILL INTERLEAVING: an
+        admission's spliced prompt is prefilled in prefill_chunk-token
+        extends (medplib.stream_prefill_chunk) with a SHORT decode chunk
+        (`interleave_steps` tokens, default chunk//4, its own compiled
+        program) dispatched between consecutive extends — in-flight
+        streams see gaps bounded by ~one extend instead of the whole
+        prefill (run_all.py config 10's bg_decode_stall_max_chunks), and
+        the admission pays only interleave_steps x step-time per extend of
+        extra TTFT (a full chunk between extends measured 3.2x idle TTFT
+        at spliced-1600 prompts; see README). Token streams stay
+        byte-identical to the unchunked path."""
         self.group_admission = group_admission
         self.cfg, self.params = cfg, params
         self.slots = slots
@@ -135,6 +150,13 @@ class BatchedEngine:
         # the shared cache must cover whole chunks for the longest request
         self.decode_budget = -(-max_new_tokens // chunk) * chunk
         self.max_new_tokens = max_new_tokens
+        if prefill_chunk and max_prompt_len and \
+                prefill_chunk > self.decode_budget:
+            # bucket caches must agree on the shared time size: a bucket's
+            # chunk-padded prompt may overrun the slot shape only if one
+            # prefill chunk exceeds the decode budget (see _slot_cache_len)
+            raise ValueError("prefill_chunk must be <= the decode budget "
+                             "when prompt buckets are enabled")
 
         def mk_prefill(rp: bool, ds: bool):
             # temperature/top_p are traced [k, 1] arrays: per-ROW sampling
@@ -148,7 +170,7 @@ class BatchedEngine:
                 b = (bs[0] if len(bs) == 1 else jax.tree_util.tree_map(
                     lambda *xs: jnp.concatenate(xs, 0), *bs))
                 return medplib.stream_prefill(
-                    p, cfg, b, max_new_tokens=self.decode_budget, rp_flag=rp,
+                    p, cfg, b, max_new_tokens=self._cache_budget, rp_flag=rp,
                     do_sample=ds, temperature=t, top_p=tp, rng=k,
                     kv_quant=kv_quant)
 
@@ -156,15 +178,61 @@ class BatchedEngine:
 
         self._prefills = {(rp, ds): mk_prefill(rp, ds)
                           for rp in (False, True) for ds in (False, True)}
-        self._chunk_greedy = jax.jit(
-            lambda p, st: medplib.stream_decode_chunk(
-                p, cfg, st, chunk=chunk, eos_id=eos_id),
-            donate_argnums=(1,))
-        self._chunk_sample = jax.jit(
-            lambda p, st, t, tp: medplib.stream_decode_chunk(
-                p, cfg, st, chunk=chunk, eos_id=eos_id, do_sample=True,
-                temperature=t, top_p=tp),
-            donate_argnums=(1,))
+
+        self.prefill_chunk = prefill_chunk
+        if prefill_chunk:
+            from medplib_tpu.models.medplib import (stream_prefill_begin,
+                                                    stream_prefill_chunk,
+                                                    stream_prefill_finish)
+
+            def mk_begin(rp: bool):
+                def run(p, cache_len, *bs):
+                    b = (bs[0] if len(bs) == 1 else jax.tree_util.tree_map(
+                        lambda *xs: jnp.concatenate(xs, 0), *bs))
+                    return stream_prefill_begin(
+                        p, cfg, b, max_new_tokens=self._cache_budget,
+                        chunk_tokens=prefill_chunk, rp_flag=rp,
+                        kv_quant=kv_quant, cache_len=cache_len)
+
+                return jax.jit(run, static_argnums=(1,))
+
+            self._begins = {rp: mk_begin(rp) for rp in (False, True)}
+            # the carry (multi-GB cache) is donated through every extend
+            self._ext = jax.jit(
+                lambda p, carry, e, am, sm, c0: stream_prefill_chunk(
+                    p, cfg, carry, e, am, sm, c0,
+                    chunk_tokens=prefill_chunk),
+                donate_argnums=(1,))
+            self._finishes = {
+                ds: jax.jit(functools.partial(
+                    stream_prefill_finish, cfg=cfg, do_sample=ds))
+                for ds in (False, True)}
+        def mk_chunks(n):
+            return (jax.jit(
+                lambda p, st: medplib.stream_decode_chunk(
+                    p, cfg, st, chunk=n, eos_id=eos_id),
+                donate_argnums=(1,)),
+                jax.jit(
+                lambda p, st, t, tp: medplib.stream_decode_chunk(
+                    p, cfg, st, chunk=n, eos_id=eos_id, do_sample=True,
+                    temperature=t, top_p=tp),
+                donate_argnums=(1,)))
+
+        self._chunk_greedy, self._chunk_sample = mk_chunks(chunk)
+        self.interleave_steps = min(interleave_steps or max(1, chunk // 4),
+                                    chunk)
+        if prefill_chunk and self.interleave_steps != chunk:
+            self._chunk_greedy_i, self._chunk_sample_i = mk_chunks(
+                self.interleave_steps)
+        else:
+            self._chunk_greedy_i, self._chunk_sample_i = (
+                self._chunk_greedy, self._chunk_sample)
+        # mixed short/full decode chunks can cross the retire boundary by
+        # up to chunk - interleave_steps steps (retire checks AFTER each
+        # dispatch); the shared cache gets that many slots of slack so the
+        # overshooting rows' KV writes stay in bounds
+        self._cache_budget = self.decode_budget + (
+            chunk - self.interleave_steps if prefill_chunk else 0)
         self._insert = jax.jit(self._insert_impl, donate_argnums=(0,))
         self._pad_time = jax.jit(self._pad_time_impl,
                                  static_argnames=("target",),
@@ -249,7 +317,7 @@ class BatchedEngine:
             per = max(per, self.cfg.projector.mask_encoder_tokens)
         n_img = batch.image_token_lengths.shape[1]
         return (self.max_prompt_len + n_img * (per - 1) +
-                self.decode_budget)
+                self._cache_budget)
 
     @staticmethod
     def _make_empty_impl(small: medplib.StreamState,
@@ -362,12 +430,31 @@ class BatchedEngine:
         key = jax.random.PRNGKey(int(seed) if seed is not None
                                  else time.time_ns() & 0x7FFFFFFF)
         ds = any(r.do_sample for r in group)
-        small = self._prefills[(group[0].region, ds)](
-            self.params, temps, tops, key, *[r.batch for r in rows])
-        target = self._slot_cache_len(group[0].batch)
-        if target is not None and small.cache.k.shape[2] < target:
-            # bucketed prompt: pad the admission's KV up to the slot shape
-            small = self._pad_time(small, target=target)
+        if self.prefill_chunk:
+            # CHUNKED-PREFILL INTERLEAVING: splice once, then extend the
+            # cache prefill_chunk tokens at a time with one shared-batch
+            # decode chunk between extends — in-flight streams' max gap is
+            # ~one extend, not the whole prompt. Token-exact vs the
+            # monolithic prefill (tests/test_engine.py).
+            target = self._slot_cache_len(group[0].batch)
+            embeds, am, sm, carry = self._begins[group[0].region](
+                self.params, target, *[r.batch for r in rows])
+            n = embeds.shape[1] // self.prefill_chunk
+            for ci in range(n):
+                carry = self._ext(self.params, carry, embeds, am, sm,
+                                  np.int32(ci * self.prefill_chunk))
+                if ci < n - 1:
+                    self._decode_once(short=True)
+            small = self._finishes[ds](self.params, carry=carry,
+                                       attn_mask=am, temperature=temps,
+                                       top_p=tops, rng=key)
+        else:
+            small = self._prefills[(group[0].region, ds)](
+                self.params, temps, tops, key, *[r.batch for r in rows])
+            target = self._slot_cache_len(group[0].batch)
+            if target is not None and small.cache.k.shape[2] < target:
+                # bucketed prompt: pad the admission's KV to the slot shape
+                small = self._pad_time(small, target=target)
         if self._state is None:
             self._state = self._make_empty(small)
         slots = []
@@ -382,6 +469,18 @@ class BatchedEngine:
             for slot in slots:
                 self._slot_req[slot] = None
             raise
+        # FIRST-TOKEN FAST PATH: prefill already sampled the first token
+        # (StreamState.tok) — deliver it NOW instead of after the next full
+        # decode chunk (~chunk x step-time off TTFT; the loaded-TTFT bench,
+        # run_all.py config 10, is dominated by that wait). The decode
+        # chunk re-emits the carried token as its first output, so the
+        # slot skips one already-delivered token (r._skip).
+        first = np.asarray(small.tok)[: len(group)]  # host slice: 1 fetch
+        for r, t in zip(group, first.tolist()):
+            if int(t) > 0 and not r.cancelled:  # same filter as the chunk
+                r.chunks.put([int(t)])
+                r.emitted += 1
+                r._skip = 1
 
     def _try_admit(self, group: List[Request], retried: bool = False):
         """Admit with failure isolation: a failed GROUP falls back to solo
@@ -468,6 +567,14 @@ class BatchedEngine:
         groups.extend(v for v in by_key.values())
         for g in groups:
             self._try_admit(g)
+        self._decode_once()
+
+    def _decode_once(self, short: bool = False):
+        """One shared-batch decode chunk + delivery/retire bookkeeping.
+        Called from the main loop, and BETWEEN chunked-prefill extends with
+        short=True (an interleave_steps-token chunk: enough to keep
+        in-flight streams moving without charging the admission a full
+        chunk of extra TTFT per extend)."""
         active = [i for i, r in enumerate(self._slot_req) if r is not None]
         if not active:
             return
@@ -480,18 +587,24 @@ class BatchedEngine:
                 tops[i, 0] = self._slot_req[i].top_p
             # np arrays convert at jit dispatch; eager jnp.asarray would be
             # two extra tunnel round trips per chunk
-            self._state, toks, dones = self._chunk_sample(
-                self.params, self._state, temps, tops)
+            fn = self._chunk_sample_i if short else self._chunk_sample
+            self._state, toks, dones = fn(self.params, self._state, temps,
+                                          tops)
         else:
-            self._state, toks, dones = self._chunk_greedy(self.params,
-                                                          self._state)
+            fn = self._chunk_greedy_i if short else self._chunk_greedy
+            self._state, toks, dones = fn(self.params, self._state)
         # single host fetch for the chunk's outputs (tunnel round trips)
         toks, dones, done_now = jax.device_get(
             (toks, dones, self._state.done))
         for slot in active:
             r = self._slot_req[slot]
-            fresh = [int(t) for t, d in zip(toks[slot], dones[slot])
-                     if not d and int(t) > 0][: r.max_new_tokens - r.emitted]
+            passing = [int(t) for t, d in zip(toks[slot], dones[slot])
+                       if not d and int(t) > 0]
+            # the first chunk after admission re-emits the carried prefill
+            # token that the fast path already delivered (see _admit)
+            drop = min(r._skip, len(passing))
+            r._skip -= drop
+            fresh = passing[drop:][: r.max_new_tokens - r.emitted]
             # emitted counts DELIVERED tokens (matches the sequential
             # worker's len(detok.toks) cap); steps bounds total decode work
             # so a stream of filtered ids can't outrun the KV cache

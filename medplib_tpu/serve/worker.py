@@ -96,13 +96,18 @@ class ModelWorker:
                  conv_template: str = "v1",
                  batched_slots: int = 0,
                  kv_quant: bool = False,
-                 device_preprocess: Optional[bool] = None):
+                 device_preprocess: Optional[bool] = None,
+                 prefill_chunk: Optional[int] = None):
         self.cfg, self.params, self.tok = cfg, params, tokenizer
-        # device preprocess (ops/device_preprocess.py) defaults ON when a
-        # real accelerator backs the worker; CPU-backed tests keep the
-        # host/C++ recipe (identical numerics, no XLA resize compile)
+        # device preprocess (ops/device_preprocess.py) defaults OFF: measured
+        # on the tunneled v5e (run_all.py config 1, 1024px image) the fused
+        # on-chip path costs 113.9 ms/image end-to-end vs 14.9 ms for the
+        # host/C++ recipe — shipping the uint8 size-bucket canvas (3 MB)
+        # plus the extra dispatch round trips through the tunnel dominates
+        # the on-chip win. Opt in (device_preprocess=True) on hosts with a
+        # local PCIe-attached chip, where the same transfer is ~1 ms.
         if device_preprocess is None:
-            device_preprocess = jax.default_backend() == "tpu"
+            device_preprocess = False
         self.device_preprocess = device_preprocess
         self.model_name = model_name
         self.controller_url = controller_url
@@ -169,7 +174,8 @@ class ModelWorker:
             self.engine = BatchedEngine(
                 cfg, params, slots=batched_slots,
                 max_new_tokens=max_new_tokens, chunk=stream_interval,
-                eos_id=eos, max_prompt_len=max_seq_len, kv_quant=kv_quant)
+                eos_id=eos, max_prompt_len=max_seq_len, kv_quant=kv_quant,
+                prefill_chunk=prefill_chunk)
             self.semaphore = threading.Semaphore(batched_slots * 4)
         if controller_url:
             self.register()

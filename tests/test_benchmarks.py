@@ -1,10 +1,12 @@
 """Smoke: the 5-config benchmark harness runs end-to-end at tiny scale."""
 
+import pytest
 import json
 import subprocess
 import sys
 
 
+@pytest.mark.slow
 def test_run_all_tiny_emits_all_configs():
     r = subprocess.run(
         [sys.executable, "benchmarks/run_all.py", "--tiny"],

@@ -3,6 +3,7 @@ path, slot reuse under oversubscription, mixed greedy/sampled batches, and
 per-request SEG grounding."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -104,6 +105,7 @@ PROMPTS = [
 
 
 @pytest.mark.parametrize("group", [False, True])
+@pytest.mark.slow
 def test_engine_matches_single_stream_and_reuses_slots(tiny, group):
     """5 greedy requests through a 2-slot engine must each reproduce the
     sequential single-request stream token-for-token (batching invariance),
@@ -127,6 +129,7 @@ def test_engine_matches_single_stream_and_reuses_slots(tiny, group):
         eng.shutdown()
 
 
+@pytest.mark.slow
 def test_engine_mixed_greedy_and_sampled(tiny):
     """A greedy request batched WITH a sampled one still gets exact-argmax
     tokens (per-row temperature routing in ops/sampling.sample_token)."""
@@ -152,6 +155,7 @@ def test_engine_mixed_greedy_and_sampled(tiny):
         eng.shutdown()
 
 
+@pytest.mark.slow
 def test_engine_grounding_matches_stream_ground(tiny):
     """A prompt carrying <SEG> grounds per-request; the mask must equal the
     single-stream stream_ground result."""
@@ -185,6 +189,7 @@ def test_engine_grounding_matches_stream_ground(tiny):
         eng.shutdown()
 
 
+@pytest.mark.slow
 def test_engine_shape_isolation_and_idle_healing(tiny):
     """While traffic is live, a request whose collation shape mismatches the
     shared state fails ALONE (in-flight requests unaffected); once the
@@ -231,6 +236,7 @@ def test_engine_shape_isolation_and_idle_healing(tiny):
         eng.shutdown()
 
 
+@pytest.mark.slow
 def test_engine_stress_randomized_traffic(tiny):
     """12 requests with random budgets and a greedy/sampled mix, submitted
     from 3 threads with jitter through a 3-slot engine: everything must
@@ -283,6 +289,7 @@ def test_engine_stress_randomized_traffic(tiny):
         eng.shutdown()
 
 
+@pytest.mark.slow
 def test_engine_prompt_buckets_and_cancel(tiny):
     """max_prompt_len engine (VERDICT round-2 task 5): requests collated at
     a NARROWER bucket are padded to the slot shape at insert and decode the
@@ -330,6 +337,7 @@ def test_engine_prompt_buckets_and_cancel(tiny):
         eng2.shutdown()
 
 
+@pytest.mark.slow
 def test_engine_kv_quant_matches_quantized_stream(tiny):
     """int8 KV cache in the engine (kv_quant=True): requests reproduce the
     single-stream path built on the SAME quantized cache token-for-token
@@ -365,6 +373,7 @@ def test_engine_kv_quant_matches_quantized_stream(tiny):
         eng.shutdown()
 
 
+@pytest.mark.slow
 def test_engine_serves_moe_model(tiny):
     """The engine serves the MoE composite (the flagship architecture)
     unchanged: decode-sized batches route through the sort dispatch and
@@ -390,5 +399,106 @@ def test_engine_serves_moe_model(tiny):
         got = [r.tokens() for r in [eng.submit(b, temperature=0.0)
                                     for b in batches]]
         assert got == want
+    finally:
+        eng.shutdown()
+
+
+def test_engine_first_token_fast_path(tiny):
+    """The prefill's own sampled token is delivered AT ADMISSION as a
+    1-token chunk (TTFT = prefill, not prefill + a full decode chunk), and
+    the overall stream still matches the sequential path exactly."""
+    cfg, params, tok, cc = tiny
+    budget, chunk = 8, 4
+    b = _make_batch(cfg, tok, cc, PROMPTS[0])
+    want, _ = _reference_tokens(cfg, params, b, budget, chunk)
+    eng = BatchedEngine(cfg, params, slots=2, max_new_tokens=budget,
+                        chunk=chunk)
+    try:
+        r = eng.submit(b, temperature=0.0)
+        chunks = list(r)
+        assert chunks and chunks[0] == want[:1]
+        assert [t for c in chunks for t in c] == want
+    finally:
+        eng.shutdown()
+
+
+@pytest.mark.parametrize("kvq", [False, True])
+@pytest.mark.slow
+def test_chunked_prefill_matches_monolithic(tiny, kvq):
+    """begin -> N x stream_prefill_chunk -> finish must reproduce
+    stream_prefill exactly: same cache prefix, same prompt-SEG slots, same
+    first token — and the decoded continuation must match token-for-token
+    (bf16-KV and int8-KV extend paths both). Chunk size 5 deliberately does
+    NOT divide the spliced length, so the tail-padding path is exercised."""
+    cfg, params, tok, cc = tiny
+    budget, C = 8, 5
+    b = _make_batch(cfg, tok, cc, PROMPTS[1])  # prompt contains <SEG>
+    ref = jax.jit(lambda p, bb: medplib.stream_prefill(
+        p, cfg, bb, max_new_tokens=budget, kv_quant=kvq))(params, b)
+
+    embeds, am, sm, carry = jax.jit(
+        lambda p, bb: medplib.stream_prefill_begin(
+            p, cfg, bb, max_new_tokens=budget, chunk_tokens=C,
+            kv_quant=kvq))(params, b)
+    ext = jax.jit(lambda p, ca, e, a, s, c0: medplib.stream_prefill_chunk(
+        p, cfg, ca, e, a, s, c0, chunk_tokens=C))
+    n = embeds.shape[1] // C
+    assert embeds.shape[1] % C == 0 and n >= 2
+    for ci in range(n):
+        carry = ext(params, carry, embeds, am, sm, jnp.int32(ci * C))
+    st = jax.jit(lambda p, ca, a: medplib.stream_prefill_finish(
+        p, cfg, ca, a))(params, carry, am)
+
+    assert int(np.asarray(st.tok)[0]) == int(np.asarray(ref.tok)[0])
+    np.testing.assert_array_equal(np.asarray(st.seg_count),
+                                  np.asarray(ref.seg_count))
+    # int8 KV: later chunks attend QUANTIZED earlier-chunk K/V, while the
+    # monolithic prefill attends unquantized — a deliberate (and tiny)
+    # fidelity trade, so the quant case gets a rounding-sized tolerance
+    seg_atol = 3e-2 if kvq else 1e-4
+    np.testing.assert_allclose(np.asarray(st.seg_emb),
+                               np.asarray(ref.seg_emb), atol=seg_atol)
+    L = int(np.asarray(ref.cache.length)[0])
+    assert int(np.asarray(st.cache.length)[0]) == L
+    if kvq:
+        def deq(c):
+            return (np.asarray(c.k[:, :, :L], np.float32)
+                    * np.asarray(c.k_scale[:, :, :L], np.float32))
+        np.testing.assert_allclose(deq(st.cache), deq(ref.cache), atol=3e-2)
+    else:
+        np.testing.assert_allclose(np.asarray(st.cache.k[:, :, :L]),
+                                   np.asarray(ref.cache.k[:, :, :L]),
+                                   atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(st.cache.v[:, :, :L]),
+                                   np.asarray(ref.cache.v[:, :, :L]),
+                                   atol=2e-5, rtol=2e-5)
+
+    dec = jax.jit(lambda p, s: medplib.stream_decode_chunk(
+        p, cfg, s, chunk=budget))
+    _, t_chunked, _ = dec(params, st)
+    _, t_ref, _ = dec(params, ref)
+    np.testing.assert_array_equal(np.asarray(t_chunked), np.asarray(t_ref))
+
+
+@pytest.mark.parametrize("pc", [4, 16])
+@pytest.mark.slow
+def test_engine_chunked_prefill_interleaving(tiny, pc):
+    """BatchedEngine(prefill_chunk=pc) must stay token-exact vs the
+    sequential single-request stream while slot reuse + mid-prefill decode
+    interleaving happen underneath."""
+    cfg, params, tok, cc = tiny
+    budget, chunk = 8, 4
+    batches = [_make_batch(cfg, tok, cc, p, seed=i)
+               for i, p in enumerate(PROMPTS[:3])]
+    want = [_reference_tokens(cfg, params, b, budget, chunk)[0]
+            for b in batches]
+    eng = BatchedEngine(cfg, params, slots=2, max_new_tokens=budget,
+                        chunk=chunk, prefill_chunk=pc)
+    try:
+        reqs = [eng.submit(b, temperature=0.0) for b in batches]
+        got = [r.tokens() for r in reqs]
+        assert got == want
+        assert all(r.error is None for r in reqs)
+        assert eng.active_requests == 0
     finally:
         eng.shutdown()

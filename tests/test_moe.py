@@ -103,6 +103,7 @@ def test_capacity_drop_zeroes_overflow_tokens():
     np.testing.assert_array_equal(out[3:], 0.0)
 
 
+@pytest.mark.slow
 def test_moe_llama_forward_and_decode_consistency():
     cfg = LlamaConfig.tiny()
     mcfg = MoeConfig(enable=True, num_experts=2, top_k=1, capacity_factor=4.0,
@@ -126,6 +127,7 @@ def test_moe_llama_forward_and_decode_consistency():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_moe_partial_mode_uses_dense_elsewhere():
     cfg = LlamaConfig.tiny()
     mcfg = MoeConfig(enable=True, num_experts=2, top_k=1,
@@ -137,6 +139,7 @@ def test_moe_partial_mode_uses_dense_elsewhere():
     assert np.isfinite(np.asarray(h)).all()
 
 
+@pytest.mark.slow
 def test_moe_ep_sharding_matches_unsharded():
     from jax.sharding import NamedSharding, PartitionSpec as P
     from medplib_tpu.config import MeshConfig
@@ -222,6 +225,7 @@ def test_residual_moe_matches_reference_mix():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_residual_moe_llama_end_to_end():
     """init_moe_llama(use_residual=True) creates the residual params (seeded
     from the dense MLP, like deepspeed's deepcopy) and forward/decode run;
@@ -253,6 +257,7 @@ def test_residual_moe_llama_end_to_end():
     assert not np.allclose(np.asarray(hidden), np.asarray(hidden2))
 
 
+@pytest.mark.slow
 def test_moe_from_hf_residual_translation():
     """moe_llama_from_hf picks up deepspeed residual keys
     (layers.{i}.mlp.mlp.* and layers.{i}.mlp.coefficient.*)."""
@@ -309,6 +314,7 @@ def test_moe_from_hf_residual_translation():
     assert np.isfinite(np.asarray(hidden)).all()
 
 
+@pytest.mark.slow
 def test_ragged_dispatch_matches_sort_when_zero_drop():
     """dispatch_mode='ragged' (jax.lax.ragged_dot grouped matmul) is
     exact-equivalent to the capacity dispatch when capacity >= S: top-1,
@@ -353,6 +359,7 @@ def test_ragged_dispatch_matches_sort_when_zero_drop():
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_ragged_dispatch_int4h_experts():
     """ragged + int4h experts (the flagship combination) stays close to
     the fp32 sort dispatch."""
@@ -383,6 +390,7 @@ def test_ragged_dispatch_int4h_experts():
     assert rel < 0.2, rel
 
 
+@pytest.mark.slow
 def test_gmm_dispatch_matches_sort_when_zero_drop():
     """dispatch_mode='gmm' (Pallas grouped matmul over group-aligned
     tiles, ops/pallas/gmm.py) == capacity dispatch in the zero-drop
@@ -427,6 +435,7 @@ def test_gmm_dispatch_matches_sort_when_zero_drop():
     assert rel < 0.05, rel
 
 
+@pytest.mark.slow
 def test_gmm_w8a8_dispatch():
     """Fused W8A8 gmm (int8 activations + int8 experts, int32 VMEM
     accumulation): engages only under dynamic_act_quant, stays within
@@ -460,6 +469,7 @@ def test_gmm_w8a8_dispatch():
     assert rel < 0.05, rel
 
 
+@pytest.mark.slow
 def test_gmm_int4h_kernel_matches_dequant():
     """gmm_int4h (in-register nibble unpack, per-half scales) == the
     materializing dequant matmul, per expert tile — incl. a K/2 whose only
@@ -489,6 +499,7 @@ def test_gmm_int4h_kernel_matches_dequant():
         assert float(jnp.max(jnp.abs(got - want))) < 0.05, (K, N)
 
 
+@pytest.mark.slow
 def test_gmm_int4h_w4a8_kernel():
     """W4A8 gmm_int4h: int8 activations x unpacked int4 nibbles, int32
     VMEM accumulation, (row x half x channel) rescale at the epilogue."""
@@ -511,6 +522,7 @@ def test_gmm_int4h_w4a8_kernel():
     assert rel < 0.02, rel  # activation-quant noise only
 
 
+@pytest.mark.slow
 def test_gmm_int4h_dispatch():
     """dispatch_mode='gmm' routes per-half int4h experts (the
     quantize_flagship_moe layout) through the in-kernel nibble path — and
@@ -634,6 +646,7 @@ def _assert_close_modulo_router_ties(a, b, frac=0.005, rel_norm=0.01):
     assert rel < rel_norm, rel
 
 
+@pytest.mark.slow
 def test_stacked_gmm_forward_matches_sliced():
     """The whole-stack layer-indexed gmm path (stack_experts_for_gmm +
     gid_offset) computes the same forward as the per-layer-sliced gmm and
@@ -726,6 +739,7 @@ def test_pad_moe_experts_for_gmm_exact():
         assert "before quantization" in str(e)
 
 
+@pytest.mark.slow
 def test_decode_gmm_matches_sort(monkeypatch):
     """MEDPLIB_DECODE_GMM=1 routes the decode-step expert MLP through the
     whole-stack gmm at block_m=32 (models/moe_llama.forward_decode); output
@@ -864,6 +878,7 @@ def test_ep_gmm_decode_matches_single_device(monkeypatch):
     _assert_close_modulo_router_ties(y2, y1)
 
 
+@pytest.mark.slow
 def test_fused_decode_kernel_matches_gmm_and_sort(monkeypatch):
     """ops/pallas/moe_decode.moe_ffn_decode_int4h — the one-call routed
     SwiGLU decode kernel — must match the 3-call gmm decode and the

@@ -1,5 +1,6 @@
 """Int8 weight-only quantization: accuracy + generation still works."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,6 +26,7 @@ def test_quantized_forward_close_to_fp32():
     assert rel < 0.05, rel
 
 
+@pytest.mark.slow
 def test_quantized_decode_consistent():
     cfg = LlamaConfig.tiny()
     params = quantize_tree(llama.init_llama(jax.random.PRNGKey(1), cfg))
@@ -86,6 +88,7 @@ def test_int4_forward_close_to_fp32():
     assert rel < 0.35, rel
 
 
+@pytest.mark.slow
 def test_int4_decode_consistent():
     cfg = LlamaConfig.tiny()
     params = quantize_tree(llama.init_llama(jax.random.PRNGKey(1), cfg),
@@ -298,6 +301,7 @@ def test_int4h_fused_matmuls_match_dequant():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_int4h_llama_forward_close_and_decode_consistent():
     cfg = LlamaConfig.tiny()
     params = llama.init_llama(jax.random.PRNGKey(3), cfg)
@@ -326,6 +330,7 @@ def test_int4h_llama_forward_close_and_decode_consistent():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_int4h_moe_experts():
     """int4h expert stacks route through the fused einsum and stay close to
     the fp32 MoE output (the flagship fit-path)."""

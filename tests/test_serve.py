@@ -94,6 +94,7 @@ class FakeTok:
         return " ".join(f"tok{t}" for t in ids)
 
 
+@pytest.mark.slow
 def test_worker_generate_stream_end_to_end():
     cfg = MedplibConfig.tiny()
     params = medplib.init_medplib(jax.random.PRNGKey(0), cfg)
@@ -165,6 +166,7 @@ def test_sparse_mask_roundtrip():
     np.testing.assert_array_equal(m, m2)
 
 
+@pytest.mark.slow
 def test_web_ui_serves_page_and_proxies(tmp_path):
     """Web UI: GET / returns the sketch page; POST /generate proxies through
     the controller to a (fake) worker."""
@@ -247,6 +249,7 @@ def test_web_ui_serves_page_and_proxies(tmp_path):
         s.shutdown()
 
 
+@pytest.mark.slow
 def test_batched_worker_concurrent_requests_match_sequential():
     """batched_slots routes requests through the continuous-batching engine
     (serve/engine.py): concurrent greedy requests must return exactly what

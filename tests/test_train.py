@@ -94,6 +94,7 @@ def test_train_step_updates_only_trainable():
         state.params["text_hidden_fcs"]["fc1"]["kernel"]) - old_head).sum() > 0
 
 
+@pytest.mark.slow
 def test_loss_decreases_over_steps():
     cfg, params = _tiny()
     tcfg = TrainConfig(lr=5e-4, warmup_steps=1, total_steps=50,
@@ -108,6 +109,7 @@ def test_loss_decreases_over_steps():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_trainer_checkpoint_resume(tmp_path):
     cfg, params = _tiny()
     tcfg = TrainConfig(lr=1e-4, warmup_steps=1, total_steps=10, epochs=1,
@@ -131,6 +133,7 @@ def test_trainer_checkpoint_resume(tmp_path):
         np.asarray(t.state.params["text_hidden_fcs"]["fc1"]["kernel"]))
 
 
+@pytest.mark.slow
 def test_lora_dropout_applied_and_deterministic():
     """TrainConfig.lora_dropout is real (VERDICT round-2 missing #2): under
     lora_dropout_ctx the adapter input is dropped; rate=0 and no-ctx are
@@ -168,6 +171,7 @@ def test_lora_dropout_applied_and_deterministic():
     assert np.abs(np.asarray(y_jit) - np.asarray(y_plain)).sum() > 0
 
 
+@pytest.mark.slow
 def test_train_step_with_lora_dropout_differs_across_steps():
     """Same batch, different steps -> different dropout masks -> different
     loss trajectories than the rate=0 run (wiring check through
@@ -196,6 +200,7 @@ def test_train_step_with_lora_dropout_differs_across_steps():
     assert l_drop != l_plain
 
 
+@pytest.mark.slow
 def test_train_mask_decoder_flag_freezes_decoder(tmp_path):
     """SegConfig.train_mask_decoder=False drops mask_decoder from the
     trainable set (reference requires_grad gating, MedPLIB.py:141-164)."""
@@ -217,6 +222,7 @@ def test_train_mask_decoder_flag_freezes_decoder(tmp_path):
     assert "mask_decoder" in t2.tcfg.sft_modules
 
 
+@pytest.mark.slow
 def test_qlora_train_step_int8_base(tmp_path):
     """QLoRA stage-3 composition (VERDICT round-2 task 8): frozen int8 base
     + bf16 LoRA trains — the partitioned train step differentiates only
@@ -254,6 +260,7 @@ def test_qlora_train_step_int8_base(tmp_path):
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_ga1_direct_path_matches_forced_scan(monkeypatch):
     """ga=1 skips the length-1 lax.scan (measured 20x+ step-time pathology,
     benchmarks/profile_step.py); the direct program must be numerically
@@ -289,6 +296,7 @@ def test_ga1_direct_path_matches_forced_scan(monkeypatch):
         s_direct.params, s_scan.params)
 
 
+@pytest.mark.slow
 def test_ga_unroll_matches_scan(monkeypatch):
     """The unrolled ga>1 accumulator (default for small ga) must match the
     scanned accumulator (MEDPLIB_TRAIN_FORCE_SCAN) step-for-step."""
