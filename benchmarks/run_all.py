@@ -396,11 +396,14 @@ def bench_engine(tiny: bool):
     elif moe_eng:
         # BENCH_ENGINE_MOE=1: serve the SHIPPED flagship (32L x 2 experts)
         # through the continuous-batching engine — int8 attn + int4h
-        # experts (the capacity layout), int8 KV for slot headroom
+        # experts (the capacity layout), int8 KV for slot headroom.
+        # 12 slots is the measured sweet spot AND the HBM ceiling: the
+        # per-step expert read amortizes over rows (100.2 tok/s at 8 ->
+        # 132.2 at 12); 16 slots' wider KV cache OOMs 16 GB
         cfg = ge._flagship_cfg(num_layers=32, moe=True)
         params = ge._init_flagship_moe_quantized(jax.random.PRNGKey(0), cfg,
                                                  expert_bits=4)
-        slots, n_req, new, T = 8, 16, 32, 48
+        slots, n_req, new, T = 12, 24, 32, 48
         slots = int(os.environ.get("BENCH_ENGINE_SLOTS", slots))
         n_req = max(n_req, 2 * slots)
     else:
