@@ -146,12 +146,99 @@ def compare(ref, var):
     return top1, kl, cos
 
 
+def trained_leg(args, results):
+    """Fidelity on TRAINED (peaked) logits — VERDICT r4 #2. The random-init
+    legs' top-1 agreement is pessimistic when logits are flat (README
+    fidelity table caveat); this leg produces the number that transfers:
+
+      1. build the 8L flagship surrogate fully bf16 (the only depth where
+         the unquantized tree fits 16 GB), inject LoRA(q,v) + sft heads,
+         train --train-steps on 4 fixed synthetic batches (stage-3-shaped
+         recipe; the trainer bench already shows dloss 4.85 descending);
+      2. merge the adapters (utils/export merge-lora path);
+      3. quantize the SAME trained weights per serving variant
+         (utils/quantize.quantize_flagship_moe — exactly what a real
+         checkpoint goes through) and re-run the comparison with the
+         trained bf16 model as reference.
+    """
+    import __graft_entry__ as ge
+    from medplib_tpu.config import TrainConfig
+    from medplib_tpu.train import lora as lora_lib
+    from medplib_tpu.train.trainer import create_state, make_train_step
+    from medplib_tpu.utils import quantize as qz
+
+    L = 8
+    cfg, params = build(L, 16, 16)  # bf16 everywhere
+    params["llm"] = lora_lib.inject(jax.random.PRNGKey(1), params["llm"],
+                                    ("q_proj", "v_proj"), r=8)
+    tcfg = TrainConfig(lr=3e-4, warmup_steps=10,
+                       total_steps=args.train_steps,
+                       grad_accumulation_steps=1)
+    state, tx = create_state(params, tcfg)
+    del params
+    step = jax.jit(make_train_step(cfg, tcfg, tx), donate_argnums=(0,))
+    batches = [jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (1,) + x.shape),
+        ge._make_batch(cfg, B=args.train_b, T=args.train_t,
+                       rng=np.random.default_rng(100 + s)))
+        for s in range(4)]
+    t0 = time.time()
+    first = last = None
+    for i in range(args.train_steps):
+        state, metrics = step(state, batches[i % len(batches)])
+        if i % 50 == 0 or i == args.train_steps - 1:
+            last = float(metrics["loss"])
+            first = last if first is None else first
+            log(f"  train step {i}: loss={last:.4f}")
+    log(f"  trained {args.train_steps} steps in {time.time() - t0:.0f}s "
+        f"(loss {first:.3f} -> {last:.3f})")
+    results["L8trained:loss_first_last"] = dict(first=first, last=last)
+    merged = lora_lib.merge(state.params,
+                            scale=tcfg.lora_alpha / tcfg.lora_r)
+    del state, batches
+
+    variants = [("bf16", 16, 16), ("int8", 8, 8), ("int4h", 4, 8),
+                ("int4h_a8dec", 4, 8)]
+    ref = ref_tokens = None
+    for name, ebits, abits in variants:
+        log(f"L={L} TRAINED variant={name}")
+        if ebits >= 16:
+            qparams = merged
+        else:
+            # fresh containers so quantize_flagship_moe's in-place expert
+            # re-assignment can't touch the bf16 reference tree
+            qparams = qz.quantize_flagship_moe(
+                jax.tree_util.tree_map(lambda x: x, merged),
+                expert_bits=ebits, attn_bits=abits)
+        if name.endswith("_a8dec"):
+            os.environ["MEDPLIB_DECODE_A8"] = "1"
+        try:
+            out = run_variant(cfg, qparams, ref_tokens, args.steps,
+                              args.b, args.t)
+        finally:
+            os.environ.pop("MEDPLIB_DECODE_A8", None)
+        if qparams is not merged:
+            del qparams
+        if ref is None:
+            ref, ref_tokens = out, out["tokens"]
+            continue
+        top1, kl, cos = compare(ref, out)
+        key = f"L{L}trained:bf16->{name}"
+        results[key] = dict(top1=top1, kl=kl, seg_cos=cos)
+        log(f"  {key}: top1={top1:.4f} KL={kl:.5f} seg_cos={cos:.5f}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, nargs="+", default=[8, 32])
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--b", type=int, default=4)
     ap.add_argument("--t", type=int, default=64)
+    ap.add_argument("--train-steps", type=int, default=0,
+                    help="train the 8L surrogate this many steps and add "
+                         "the trained-logits fidelity leg (VERDICT r4 #2)")
+    ap.add_argument("--train-b", type=int, default=4)
+    ap.add_argument("--train-t", type=int, default=256)
     args = ap.parse_args()
     results = {}
     for L in args.layers:
@@ -186,6 +273,8 @@ def main():
             key = f"L{L}:{ref_name}->{name}"
             results[key] = dict(top1=top1, kl=kl, seg_cos=cos)
             log(f"  {key}: top1={top1:.4f} KL={kl:.5f} seg_cos={cos:.5f}")
+    if args.train_steps:
+        trained_leg(args, results)
     print(json.dumps(results, indent=1))
 
 

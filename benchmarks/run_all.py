@@ -573,7 +573,20 @@ def bench_ttft_load(tiny: bool):
         for t in threads:
             t.start()
         time.sleep(0.5)  # load reaches steady decode
+        ramp_deadline = time.time() + 300
         while len(started) < slots - 1:
+            # bounded ramp wait: a bg stream that errors or ends before its
+            # first token never registers in `started` — fail loudly instead
+            # of hanging the bench forever
+            dead = [r for r in bg if getattr(r, "error", None)]
+            if dead:
+                raise RuntimeError(
+                    f"{len(dead)} background stream(s) errored during ramp: "
+                    f"{dead[0].error}")
+            if time.time() > ramp_deadline:
+                raise RuntimeError(
+                    f"load ramp stalled: {len(started)}/{slots - 1} bg "
+                    "streams delivered a first token within 300 s")
             time.sleep(0.2)  # every bg stream delivering (ramp complete)
         probe_t0[0] = time.time()
 

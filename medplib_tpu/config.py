@@ -344,6 +344,35 @@ def from_json(s: str) -> Any:
     return dec(json.loads(s))
 
 
+def with_icl(cfg: "MedplibConfig", *, token_compress: bool = False,
+             compress_tokens: Optional[int] = None,
+             mask_encoder: bool = False,
+             mask_encoder_tokens: Optional[int] = None,
+             max_icl_examples: int = 3) -> "MedplibConfig":
+    """Apply the ICL CLI flags to a model config — shared by the train and
+    eval drivers (reference --icl_enable/--mm_token_compress/
+    --mm_compressed_token_count/--icl_mask_encoder/--mask_encoder_token_count,
+    train_ds_medplib.py:67-72). Tiny configs get proportionally tiny ICL
+    dims so the --tiny smoke path exercises the same code."""
+    import dataclasses as _dc
+    tiny = cfg.vision.image_size < 100
+    if compress_tokens is None:
+        compress_tokens = (max(cfg.vision.num_patches // 2, 1) if tiny
+                           else cfg.projector.compress_tokens)
+    if mask_encoder_tokens is None:
+        mask_encoder_tokens = 4 if tiny else cfg.projector.mask_encoder_tokens
+    proj = _dc.replace(
+        cfg.projector,
+        token_compress=bool(token_compress),
+        compress_tokens=compress_tokens,
+        mask_encoder=bool(mask_encoder),
+        mask_encoder_tokens=mask_encoder_tokens,
+        mask_input_size=(cfg.vision.image_size if tiny
+                         else cfg.projector.mask_input_size))
+    return _dc.replace(cfg, projector=proj, icl_enable=True,
+                       max_icl_examples=max_icl_examples)
+
+
 def tiny_cli_config(moe_cfg: "MoeConfig", seg_token_idx: int,
                     tokenizer_len: int, seg_cfg: "SegConfig" = None,
                     region_adapter: bool = None,

@@ -34,9 +34,13 @@ class PrefetchLoader:
 
     def __init__(self, dataset, cc: CollatorConfig, batch_size: int,
                  accum_steps: int = 1, num_workers: int = 4,
-                 prefetch: int = 2, seed: int = 42):
+                 prefetch: int = 2, seed: int = 42, collate_fn=None):
         self.dataset = dataset
         self.cc = cc
+        # collate_fn(samples, cc) -> (arrays, meta); the ICL trainer passes
+        # icl_dataset.collate_icl here (reference switches the dataset class
+        # AND collator contract together, train_ds_medplib.py:367-374)
+        self.collate_fn = collate_fn or collate
         self.batch_size = batch_size
         self.accum_steps = accum_steps
         self.num_workers = num_workers
@@ -69,7 +73,7 @@ class PrefetchLoader:
                                  for g in micro_groups]
         micros = []
         for samples in samples_per_group:
-            arrays, _ = collate(samples, self.cc)
+            arrays, _ = self.collate_fn(samples, self.cc)
             micros.append(to_model_batch(arrays))
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *micros)
 

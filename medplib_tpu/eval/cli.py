@@ -33,6 +33,17 @@ def build_argparser():
     ap.add_argument("--vis-save-path", default="./vis_output")
     ap.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
     ap.add_argument("--metrics-file", default=None)
+    # ICL (reference vqa_infer.py:62-64, 288 switches to
+    # ICLLazySupervisedDataset under --icl_enable; knobs mirror
+    # train_ds_medplib.py:67-72)
+    ap.add_argument("--icl-enable", action="store_true")
+    ap.add_argument("--icl-mask-mode", default="overlay",
+                    choices=["overlay", "separate"])
+    ap.add_argument("--icl-mask-encoder", action="store_true")
+    ap.add_argument("--mask-encoder-token-count", type=int, default=None)
+    ap.add_argument("--mm-token-compress", action="store_true")
+    ap.add_argument("--mm-compressed-token-count", type=int, default=None)
+    ap.add_argument("--max-icl-examples", type=int, default=3)
     # debug (the reference's --cpu_only analog, vqa_infer.py:90)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model config for CPU smoke/debug; "
@@ -65,6 +76,15 @@ def main(argv=None):
     else:
         cfg = MedplibConfig(moe=moe_cfg, seg_token_idx=seg_idx,
                             vocab_size_padded=len(tokenizer))
+    if args.icl_enable:
+        from medplib_tpu.config import with_icl
+        cfg = with_icl(
+            cfg, token_compress=args.mm_token_compress,
+            compress_tokens=args.mm_compressed_token_count,
+            mask_encoder=(args.icl_mask_encoder and
+                          args.icl_mask_mode == "separate"),
+            mask_encoder_tokens=args.mask_encoder_token_count,
+            max_icl_examples=args.max_icl_examples)
     if args.version == "random":
         import jax
         from medplib_tpu.models import medplib
@@ -74,14 +94,33 @@ def main(argv=None):
     if args.precision == "bf16":
         params = cast_tree(params, jnp.bfloat16)
 
-    dataset = LazySupervisedDataset(
-        DataConfig(data_path=args.dataset_json,
-                   image_folder=args.image_folder,
-                   conv_template=args.conv_template, augment_regions=False,
-                   sam_image_size=cfg.sam.image_size,
-                   clip_image_size=cfg.vision.image_size,
-                   clip_patch=cfg.vision.patch_size),
-        tokenizer, train=False)
+    dcfg = DataConfig(data_path=args.dataset_json,
+                      image_folder=args.image_folder,
+                      conv_template=args.conv_template, augment_regions=False,
+                      sam_image_size=cfg.sam.image_size,
+                      clip_image_size=cfg.vision.image_size,
+                      clip_patch=cfg.vision.patch_size)
+    collate_fn = None
+    if args.icl_enable:
+        from functools import partial
+
+        from medplib_tpu.data.icl_dataset import (ICLLazySupervisedDataset,
+                                                  collate_icl)
+        from medplib_tpu.models.medplib import image_tokens_per_image
+        dataset = ICLLazySupervisedDataset(
+            dcfg, tokenizer, train=False, mask_mode=args.icl_mask_mode,
+            use_mask_encoder=cfg.projector.mask_encoder,
+            image_tokens=image_tokens_per_image(cfg),
+            mask_tokens=cfg.projector.mask_encoder_tokens,
+            max_examples=cfg.max_icl_examples,
+            mask_input_size=cfg.projector.mask_input_size)
+        max_slots = (cfg.max_icl_examples * 2 + 1
+                     if args.icl_mask_mode == "separate"
+                     else cfg.max_icl_examples + 1)
+        collate_fn = partial(collate_icl, max_slots=max_slots,
+                             mask_tokens=cfg.projector.mask_encoder_tokens)
+    else:
+        dataset = LazySupervisedDataset(dcfg, tokenizer, train=False)
     ecfg = EvalConfig(
         num_chunks=args.num_chunks, chunk_idx=args.chunk_idx,
         batch_size=args.batch_size, max_new_tokens=args.max_new_tokens,
@@ -93,7 +132,8 @@ def main(argv=None):
         sam_image_size=cfg.sam.image_size,
         clip_image_size=cfg.vision.image_size,
         pad_token_id=tokenizer.pad_token_id or 0)
-    evaluator = Evaluator(cfg, params, tokenizer, ecfg, cc)
+    evaluator = Evaluator(cfg, params, tokenizer, ecfg, cc,
+                          collate_fn=collate_fn)
     metrics = evaluator.run(dataset, mode=args.mode)
     print(json.dumps(metrics, indent=2, default=str))
     if args.metrics_file:

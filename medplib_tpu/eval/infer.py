@@ -63,9 +63,13 @@ class EvalConfig:
 class Evaluator:
     def __init__(self, cfg: MedplibConfig, params, tokenizer,
                  ecfg: EvalConfig, collator: CollatorConfig,
-                 rp_flag: bool = False):
+                 rp_flag: bool = False, collate_fn=None):
         self.cfg, self.params, self.tok = cfg, params, tokenizer
         self.ecfg, self.cc = ecfg, collator
+        # ICL eval passes icl_dataset.collate_icl (the reference's
+        # vqa_infer.py:62-64, 288 switches dataset + collator contract for
+        # --icl_enable); default is the LazySupervisedDataset collator
+        self.collate_fn = collate_fn or collate
         self._gen = jax.jit(
             lambda p, b: medplib.generate(
                 p, cfg, b, max_new_tokens=ecfg.max_new_tokens,
@@ -106,7 +110,7 @@ class Evaluator:
             samples = list(self._prepare_samples(samples, truncate=True))
             while len(samples) < B:  # pad the final partial batch
                 samples.append(samples[-1])
-            arrays, meta = collate(samples, self.cc)
+            arrays, meta = self.collate_fn(samples, self.cc)
             res = self._gen(self.params, to_model_batch(arrays))
             out_ids = np.asarray(res.output_ids)
             n_gen = np.asarray(res.num_generated)

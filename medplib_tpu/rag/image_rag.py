@@ -45,9 +45,9 @@ def make_encoder(encoder_type: str = "clip_encoder",
     """Resolve an encoder type to a loaded ImageRagEncoder
     (reference ImageRAGEncoder.__init__, image_rag.py:92-115)."""
     if encoder_type not in RAG_ENCODER_DEFAULT_PATHS:
-        raise ValueError(
-            f"Unsupported RAG encoder type: {encoder_type}. "
-            f"Choose from {list(RAG_ENCODER_DEFAULT_PATHS.keys())}.")
+        known = ", ".join(sorted(RAG_ENCODER_DEFAULT_PATHS))
+        raise ValueError(f"unknown RAG encoder type {encoder_type!r} "
+                         f"(known: {known})")
     if not encoder_path:
         root = os.environ.get("MEDPLIB_RAG_ENCODER_ROOT", "checkpoints")
         encoder_path = os.path.join(
@@ -94,65 +94,70 @@ class ImageRagEncoder:
         return np.concatenate(out) if out else np.zeros((0, 1))
 
 
+# JSON record schema contract — a data format the reference's ICL files
+# define (image_rag.py:38-87), kept for checkpoint/dataset compatibility:
+# the query image is "image" or the highest-numbered "imageN"; the target
+# mask is the first non-null of the keys below or an inline <mask> tag;
+# candidate pairs come from icl_examples/examples lists or imageN/maskN.
+_MASK_KEY_PRIORITY = ("target_mask", "mask", "mask3")
+_MASK_TAG = None  # compiled lazily to keep `import re` local
+
+
+def _numbered(item: Dict, prefix: str) -> List[int]:
+    """Sorted N over every `<prefix>N` key present in the record."""
+    return sorted(int(k[len(prefix):]) for k in item
+                  if k.startswith(prefix) and k[len(prefix):].isdigit())
+
+
 def extract_target_mask(item: Dict) -> Optional[str]:
-    """Mask path priority: target_mask > mask > mask3 > inline <mask> tag
-    (image_rag.py:38-49)."""
-    for key in ("target_mask", "mask", "mask3"):
-        if item.get(key) is not None:
-            return item[key]
+    global _MASK_TAG
+    direct = next((item[k] for k in _MASK_KEY_PRIORITY
+                   if item.get(k) is not None), None)
+    if direct is not None:
+        return direct
+    if _MASK_TAG is None:
+        import re
+        _MASK_TAG = re.compile(r"<mask>(.*?)</mask>", re.S)
     for turn in item.get("conversations", []):
-        value = str(turn.get("value", ""))
-        start = value.find("<mask>")
-        end = value.find("</mask>")
-        if start >= 0 and end > start:
-            return value[start + len("<mask>"):end]
+        hit = _MASK_TAG.search(str(turn.get("value", "")))
+        if hit:
+            return hit.group(1)
     return None
 
 
 def extract_query_image(item: Dict) -> Optional[str]:
-    """'image', else the highest-numbered imageN key (image_rag.py:52-62)."""
     if item.get("image") is not None:
         return item["image"]
-    indexed = sorted(
-        int(k.replace("image", "")) for k in item
-        if k.startswith("image") and k.replace("image", "").isdigit())
-    if indexed:
-        return item[f"image{indexed[-1]}"]
-    return None
+    ns = _numbered(item, "image")
+    return item[f"image{ns[-1]}"] if ns else None
+
+
+def _record_pairs(rec: Dict):
+    """Yield every (image, mask) pair reachable from one record: the query
+    pair, the icl_examples/examples list, and paired imageN/maskN keys."""
+    img, msk = extract_query_image(rec), extract_target_mask(rec)
+    if img is not None and msk is not None:
+        yield img, msk
+    for ex in rec.get("icl_examples", rec.get("examples", [])):
+        if ex.get("image") is not None and ex.get("mask") is not None:
+            yield ex["image"], ex["mask"]
+    for n in _numbered(rec, "image"):
+        img, msk = rec.get(f"image{n}"), rec.get(f"mask{n}")
+        if img is not None and msk is not None:
+            yield img, msk
 
 
 def collect_candidates(candidate_json: str, image_folder: str) -> List[Dict]:
-    """Candidate pool: every (image, mask) pair reachable from a record —
-    the record's own query image+mask, its icl_examples/examples, and any
-    numbered imageN/maskN pairs (image_rag.py:65-87)."""
     with open(candidate_json) as f:
         records = json.load(f)
-    out = []
 
     def resolve(path):
-        if path is None or os.path.isabs(path) or os.path.exists(path):
+        if os.path.isabs(path) or os.path.exists(path):
             return path
         return os.path.join(image_folder, path)
 
-    for rec in records:
-        image = extract_query_image(rec)
-        mask = extract_target_mask(rec)
-        if image is not None and mask is not None:
-            out.append({"image": resolve(image), "mask": mask,
-                        "record": rec})
-        for ex in rec.get("icl_examples", rec.get("examples", [])):
-            if ex.get("image") is not None and ex.get("mask") is not None:
-                out.append({"image": resolve(ex["image"]),
-                            "mask": ex["mask"], "record": rec})
-        indexed = sorted(
-            int(k.replace("image", "")) for k in rec
-            if k.startswith("image") and k.replace("image", "").isdigit())
-        for idx in indexed:
-            if rec.get(f"image{idx}") is not None and \
-                    rec.get(f"mask{idx}") is not None:
-                out.append({"image": resolve(rec[f"image{idx}"]),
-                            "mask": rec[f"mask{idx}"], "record": rec})
-    return out
+    return [{"image": resolve(img), "mask": msk, "record": rec}
+            for rec in records for img, msk in _record_pairs(rec)]
 
 
 def build_index(candidate_json: str, image_folder: str, out_dir: str,

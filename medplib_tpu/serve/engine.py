@@ -34,6 +34,7 @@ KV cache never holds two copies.
 from __future__ import annotations
 
 import functools
+import math
 import queue
 import threading
 import time
@@ -138,8 +139,10 @@ class BatchedEngine:
         prefill (run_all.py config 10's bg_decode_stall_max_chunks), and
         the admission pays only interleave_steps x step-time per extend of
         extra TTFT (a full chunk between extends measured 3.2x idle TTFT
-        at spliced-1600 prompts; see README). Token streams stay
-        byte-identical to the unchunked path."""
+        at spliced-1600 prompts; see README). Token streams are
+        byte-identical to the unchunked path for bf16 KV; with
+        kv_quant=True later chunks attend quantized earlier-chunk K/V, so
+        rounding-level divergence is possible (README fidelity table)."""
         self.group_admission = group_admission
         self.cfg, self.params = cfg, params
         self.slots = slots
@@ -227,12 +230,17 @@ class BatchedEngine:
         else:
             self._chunk_greedy_i, self._chunk_sample_i = (
                 self._chunk_greedy, self._chunk_sample)
-        # mixed short/full decode chunks can cross the retire boundary by
-        # up to chunk - interleave_steps steps (retire checks AFTER each
-        # dispatch); the shared cache gets that many slots of slack so the
-        # overshooting rows' KV writes stay in bounds
+        # mixed short/full decode chunks can cross the retire boundary
+        # (retire checks AFTER each dispatch); every step count is a sum of
+        # interleave_steps/chunk increments, i.e. a multiple of their gcd,
+        # so the worst pre-dispatch position is decode_budget - gcd and the
+        # overshoot bound is chunk - gcd (= chunk - interleave_steps when
+        # interleave divides chunk; larger for non-dividing user values —
+        # without the gcd sizing a 3/8 mix could overshoot by 7 > 5 and
+        # silently drop KV scatter writes past the cache)
         self._cache_budget = self.decode_budget + (
-            chunk - self.interleave_steps if prefill_chunk else 0)
+            chunk - math.gcd(chunk, self.interleave_steps)
+            if prefill_chunk else 0)
         self._insert = jax.jit(self._insert_impl, donate_argnums=(0,))
         self._pad_time = jax.jit(self._pad_time_impl,
                                  static_argnames=("target",),

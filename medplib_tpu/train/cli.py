@@ -60,6 +60,26 @@ def build_argparser():
     ap.add_argument("--image-folder", required=True)
     ap.add_argument("--conv-template", default="llava_v1")
     ap.add_argument("--model-max-length", type=int, default=1024)
+    # ICL stage (reference --icl_enable family, train_ds_medplib.py:67-72;
+    # recipe scripts/train_medplib_icl.sh; dataset switch at :367-374)
+    ap.add_argument("--icl-enable", action="store_true")
+    ap.add_argument("--icl-mask-mode", default="overlay",
+                    choices=["overlay", "separate"])
+    ap.add_argument("--icl-mask-encoder", action="store_true")
+    ap.add_argument("--mask-encoder-token-count", type=int, default=None)
+    ap.add_argument("--mm-token-compress", action="store_true")
+    ap.add_argument("--mm-compressed-token-count", type=int, default=None)
+    ap.add_argument("--max-icl-examples", type=int, default=3)
+    # validation (reference --val_data_path/--no_eval/--eval_only,
+    # train_ds_medplib.py:99-100, 372-374, 494-511)
+    ap.add_argument("--val-data-path", default=None)
+    ap.add_argument("--val-batch-size", type=int, default=None)
+    ap.add_argument("--no-eval", action="store_true",
+                    help="skip the per-epoch validation pass even when "
+                         "--val-data-path is set")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="restore the newest checkpoint and run one "
+                         "validation pass, no training")
     # optimization
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--epochs", type=int, default=1)
@@ -78,6 +98,12 @@ def build_argparser():
                          "(peft lora_dropout, train_ds_medplib.py:279-285)")
     ap.add_argument("--lora-target-modules", default="q_proj,v_proj")
     ap.add_argument("--no-lora", action="store_true")
+    ap.add_argument("--sft-modules",
+                    default="text_hidden_fcs,mask_decoder,lm_head,"
+                            "embed_tokens,region_fea_adapter",
+                    help="modules kept fully trainable alongside LoRA "
+                         "(reference --sft_modules, train_ds_medplib.py:54, "
+                         "316-326); empty string trains only LoRA adapters")
     ap.add_argument("--no-train-mask-decoder", action="store_true",
                     help="freeze the SAM mask decoder (inverse of the "
                          "reference's --train_mask_decoder)")
@@ -160,6 +186,15 @@ def main(argv=None):
                 region_adapter=args.region_fea_adapter,
                 region_geo_sampler=args.region_geo_sampler),
             seg_token_idx=seg_idx, vocab_size_padded=len(tokenizer))
+    if args.icl_enable:
+        from medplib_tpu.config import with_icl
+        cfg = with_icl(
+            cfg, token_compress=args.mm_token_compress,
+            compress_tokens=args.mm_compressed_token_count,
+            mask_encoder=(args.icl_mask_encoder and
+                          args.icl_mask_mode == "separate"),
+            mask_encoder_tokens=args.mask_encoder_token_count,
+            max_icl_examples=args.max_icl_examples)
 
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     params = _load_params(args, cfg, dtype)
@@ -182,17 +217,45 @@ def main(argv=None):
             epochs=args.epochs, steps_per_epoch=args.steps_per_epoch,
             lora_enable=not args.no_lora, lora_r=args.lora_r,
             lora_alpha=args.lora_alpha, lora_dropout=args.lora_dropout,
+            lora_target_modules=tuple(args.lora_target_modules.split(",")),
+            sft_modules=tuple(m for m in args.sft_modules.split(",") if m),
             save_steps=args.save_steps, log_steps=args.log_steps,
             max_seq_len=args.model_max_length)
 
-        dataset = LazySupervisedDataset(
-            DataConfig(data_path=args.dataset_json,
-                       image_folder=args.image_folder,
-                       conv_template=args.conv_template,
-                       sam_image_size=cfg.sam.image_size,
-                       clip_image_size=cfg.vision.image_size,
-                       clip_patch=cfg.vision.patch_size),
-            tokenizer, train=True)
+        def make_dataset(json_path, train=True):
+            dcfg = DataConfig(data_path=json_path,
+                              image_folder=args.image_folder,
+                              conv_template=args.conv_template,
+                              sam_image_size=cfg.sam.image_size,
+                              clip_image_size=cfg.vision.image_size,
+                              clip_patch=cfg.vision.patch_size)
+            if args.icl_enable:
+                from medplib_tpu.data.icl_dataset import \
+                    ICLLazySupervisedDataset
+                from medplib_tpu.models.medplib import image_tokens_per_image
+                return ICLLazySupervisedDataset(
+                    dcfg, tokenizer, train=train,
+                    mask_mode=args.icl_mask_mode,
+                    use_mask_encoder=cfg.projector.mask_encoder,
+                    image_tokens=image_tokens_per_image(cfg),
+                    mask_tokens=cfg.projector.mask_encoder_tokens,
+                    max_examples=cfg.max_icl_examples,
+                    mask_input_size=cfg.projector.mask_input_size)
+            return LazySupervisedDataset(dcfg, tokenizer, train=train)
+
+        collate_fn = None
+        if args.icl_enable:
+            from functools import partial
+
+            from medplib_tpu.data.icl_dataset import collate_icl
+            max_slots = (cfg.max_icl_examples * 2 + 1
+                         if args.icl_mask_mode == "separate"
+                         else cfg.max_icl_examples + 1)
+            collate_fn = partial(
+                collate_icl, max_slots=max_slots,
+                mask_tokens=cfg.projector.mask_encoder_tokens)
+
+        dataset = make_dataset(args.dataset_json, train=True)
         cc = CollatorConfig(
             max_seq_len=args.model_max_length,
             image_tokens=cfg.vision.num_patches,
@@ -209,7 +272,30 @@ def main(argv=None):
             return iter(PrefetchLoader(
                 dataset, cc, batch_size=args.batch_size,
                 accum_steps=args.grad_accumulation_steps,
-                num_workers=args.workers, seed=42))
+                num_workers=args.workers, seed=42, collate_fn=collate_fn))
+
+        # per-epoch validation (train_ds_medplib.py:372-374, 494-511): one
+        # deterministic in-order pass; the final partial batch is padded to
+        # the static shape with its padding rows' mask_valid cleared so the
+        # duplicates don't count
+        val_batches_fn = None
+        if args.val_data_path and not args.no_eval:
+            from medplib_tpu.data.dataset import collate, to_model_batch
+            val_dataset = make_dataset(args.val_data_path, train=False)
+            vb = args.val_batch_size or args.batch_size
+            vcollate = collate_fn or collate
+
+            def val_batches_fn():
+                n = len(val_dataset)
+                for start in range(0, n, vb):
+                    samples = [val_dataset[i]
+                               for i in range(start, min(start + vb, n))]
+                    n_real = len(samples)
+                    while len(samples) < vb:
+                        samples.append(samples[-1])
+                    arrays, _ = vcollate(samples, cc)
+                    arrays["mask_valid"][n_real:] = False
+                    yield to_model_batch(arrays)
 
         log_dir = os.path.join(args.log_base_dir, args.exp_name)
         trainer = Trainer(cfg, tcfg, params, log_dir,
@@ -217,7 +303,19 @@ def main(argv=None):
                           seg_flag=not args.no_seg,
                           rp_flag=args.region_fea_adapter or
                           args.region_geo_sampler)
-        final = trainer.fit(batch_iterator)
+        if args.eval_only:
+            # reference --eval_only (train_ds_medplib.py:494-496): restore
+            # and validate, no training
+            if val_batches_fn is None:
+                raise SystemExit("--eval_only needs --val-data-path "
+                                 "(and not --no-eval)")
+            step = trainer.resume_if_possible()
+            vres = trainer.validate(val_batches_fn())
+            print(f"eval_only @ step {step}: "
+                  f"giou={vres['giou']:.4f} ciou={vres['ciou']:.4f} "
+                  f"dice={vres['dice']:.4f} loss={vres['loss']:.4f}")
+            return
+        final = trainer.fit(batch_iterator, val_batches_fn=val_batches_fn)
         print(f"training done at step {final}; checkpoints in {log_dir}")
 
 

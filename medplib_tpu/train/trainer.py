@@ -193,6 +193,9 @@ class Trainer:
         self.writer = ScalarWriter(log_dir)
         self.ckpt = CheckpointManager(f"{log_dir}/ckpt_model")
         self.log_dir = log_dir
+        self._ep_shard, self._seg_flag, self._rp_flag = (ep_shard, seg_flag,
+                                                         rp_flag)
+        self._val_fn = None
 
     def resume_if_possible(self) -> int:
         """auto_resume (train_ds_medplib.py:452-470): restore newest ckpt,
@@ -210,8 +213,71 @@ class Trainer:
                               "opt_state": self.state.opt_state,
                               "step": self.state.step})
 
+    def validate(self, val_batches: Iterator) -> Dict[str, float]:
+        """In-train validation pass (train_ds_medplib.py:721-795): the
+        reference validates with a TEACHER-FORCED forward (model_engine(**x),
+        not generate), binarizes sigmoid(pred) > 0.1 in the padded SAM frame
+        against the collator's gt_masks, and accumulates gIoU (mean
+        per-sample IoU), cIoU (IoU of summed intersections/unions), and
+        mDice = mean 2·IoU/(1+IoU). Cross-host aggregation sums the meter
+        state over processes (the reference's AverageMeter.all_reduce)."""
+        from medplib_tpu.eval.seg_metrics import SegMeter, binarize_logits
+
+        if self._val_fn is None:
+            cfg = self.cfg
+
+            def val_forward(params, batch):
+                out = medplib.model_forward(
+                    params, cfg, batch, train=False, seg_flag=True,
+                    rp_flag=self._rp_flag, remat=False,
+                    ep_shard=self._ep_shard)
+                return out["pred_masks"], out["seg_valid"], out["loss"]
+
+            self._val_fn = jax.jit(val_forward)
+
+        meter = SegMeter()
+        iou_list, loss_list = [], []
+        for batch in val_batches:
+            preds, seg_valid, loss = self._val_fn(self.state.params, batch)
+            preds = np.asarray(preds)
+            valid = np.asarray(seg_valid) & np.asarray(batch.mask_valid)
+            gts = np.asarray(batch.gt_masks) > 0
+            loss_list.append(float(loss))
+            for b, s in zip(*np.nonzero(valid)):
+                pred = binarize_logits(preds[b, s])
+                meter.update(pred, gts[b, s])
+                union = float(np.logical_or(pred > 0, gts[b, s]).sum())
+                inter = float(np.logical_and(pred > 0, gts[b, s]).sum())
+                iou_list.append(inter / union if union else 0.0)
+        if jax.process_count() > 1:
+            # sum meter state across hosts (utils/utils.py:49-70 all_reduce)
+            from jax.experimental import multihost_utils as mh
+            packed = np.concatenate([
+                meter.inter_sum, meter.union_sum, meter.iou_sum,
+                [meter.count, sum(iou_list), len(iou_list),
+                 sum(loss_list), len(loss_list)]])
+            total = np.sum(mh.process_allgather(packed), axis=0)
+            nc = meter.num_classes
+            meter.inter_sum, meter.union_sum, meter.iou_sum = (
+                total[:nc], total[nc:2 * nc], total[2 * nc:3 * nc])
+            meter.count = int(total[3 * nc])
+            iou_sum, iou_n = total[3 * nc + 1], total[3 * nc + 2]
+            loss_sum, loss_n = total[3 * nc + 3], total[3 * nc + 4]
+        else:
+            iou_sum, iou_n = sum(iou_list), len(iou_list)
+            loss_sum, loss_n = sum(loss_list), len(loss_list)
+        res = meter.results()
+        miou = iou_sum / max(iou_n, 1)
+        # mDice from the mean IoU (train_ds_medplib.py:775 dice_meter)
+        dice = (sum(2 * i / (1 + i) for i in iou_list) / max(len(iou_list), 1)
+                if jax.process_count() == 1 else 2 * miou / (1 + miou))
+        res.update(miou=float(miou), dice=float(dice),
+                   loss=float(loss_sum / max(loss_n, 1)))
+        return res
+
     def fit(self, batch_iterator: Callable[[], Iterator],
-            steps_per_epoch: Optional[int] = None):
+            steps_per_epoch: Optional[int] = None,
+            val_batches_fn: Optional[Callable[[], Iterator]] = None):
         tcfg = self.tcfg
         spe = steps_per_epoch or tcfg.steps_per_epoch
         start_step = self.resume_if_possible()
@@ -282,4 +348,11 @@ class Trainer:
                 if global_step % tcfg.save_steps == 0:
                     self.save(global_step)
             self.save(global_step)
+            if val_batches_fn is not None:
+                vres = self.validate(val_batches_fn())
+                self.writer.add_scalars(vres, global_step, prefix="val/")
+                print(f"epoch {epoch} val: "
+                      f"giou={vres['giou']:.4f} ciou={vres['ciou']:.4f} "
+                      f"dice={vres['dice']:.4f} loss={vres['loss']:.4f}",
+                      flush=True)
         return global_step

@@ -144,8 +144,7 @@ def load_reference_checkpoint(
 
     if clip_dir is not None:
         clip_sd = load_hf_torch_dir(clip_dir)
-        from medplib_tpu.config import ClipVisionConfig
-        params["clip"] = hw.clip_vision_from_hf(clip_sd, ClipVisionConfig())
+        params["clip"] = hw.clip_vision_from_hf(clip_sd, cfg.vision)
 
     return cfg, params
 
@@ -250,6 +249,10 @@ def main():
     t.add_argument("--sam-path")
     t.add_argument("--clip-dir")
     t.add_argument("--dense", action="store_true")
+    t.add_argument("--config", default=None,
+                   help="medplib_tpu config json steering the translation "
+                        "(dims/MoE layout); default is the flagship "
+                        "MedPLIB-7b-2e config")
     t.add_argument("--out-path", required=True)
     h = sub.add_parser(
         "to-hf", help="re-export a tree as a merged HF safetensors dir "
@@ -268,8 +271,14 @@ def main():
     elif args.cmd == "inspect":
         inspect_tree(load_params(args.in_path))
     elif args.cmd == "from-reference":
+        user_cfg = None
+        if args.config:
+            from medplib_tpu.config import from_json
+            with open(args.config) as f:
+                user_cfg = from_json(f.read())
         cfg, params = load_reference_checkpoint(
-            args.hf_dir, args.sam_path, args.clip_dir, moe=not args.dense)
+            args.hf_dir, args.sam_path, args.clip_dir, moe=not args.dense,
+            cfg=user_cfg)
         save_params(args.out_path, params)
         from medplib_tpu.config import to_json
         with open(args.out_path + ".config.json", "w") as f:

@@ -104,6 +104,26 @@ PROMPTS = [
 ]
 
 
+def test_engine_quick_equivalence(tiny):
+    """Quick-tier canary (ADVICE r4): one cheap 2-slot greedy
+    engine-vs-sequential equivalence so routine CI exercises the engine
+    decode/admission path; the broader matrix lives in the slow tier."""
+    cfg, params, tok, cc = tiny
+    budget, chunk = 4, 2
+    batches = [_make_batch(cfg, tok, cc, p, seed=i)
+               for i, p in enumerate(PROMPTS[:2])]
+    want = [_reference_tokens(cfg, params, b, budget, chunk)[0]
+            for b in batches]
+    eng = BatchedEngine(cfg, params, slots=2, max_new_tokens=budget,
+                        chunk=chunk)
+    try:
+        reqs = [eng.submit(b, temperature=0.0) for b in batches]
+        assert [r.tokens() for r in reqs] == want
+        assert all(r.error is None for r in reqs)
+    finally:
+        eng.shutdown()
+
+
 @pytest.mark.parametrize("group", [False, True])
 @pytest.mark.slow
 def test_engine_matches_single_stream_and_reuses_slots(tiny, group):

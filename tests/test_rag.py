@@ -60,7 +60,7 @@ def test_build_and_augment(tmp_path, encoder):
 
 
 def test_encoder_registry_rejects_unknown():
-    with pytest.raises(ValueError, match="Unsupported RAG encoder type"):
+    with pytest.raises(ValueError, match="unknown RAG encoder type"):
         image_rag.make_encoder("bogus_encoder")
 
 
