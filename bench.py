@@ -253,12 +253,15 @@ def main():
     dt = (time.time() - t0) / iters
     masks_per_sec = B / dt
 
+    # single-run precision matched to the documented +/-1.3% run-to-run
+    # band (README "Performance"): 2 significant decimals on the value,
+    # ONE on the ratio — more digits would be noise theater
     print(json.dumps({
         "metric": ("moe_pixel_grounding_masks_per_sec_per_chip" if moe
                    else "pixel_grounding_masks_per_sec_per_chip"),
-        "value": round(masks_per_sec, 3),
+        "value": round(masks_per_sec, 2),
         "unit": "masks/s",
-        "vs_baseline": round(masks_per_sec / H100_REFERENCE_MASKS_PER_SEC, 3),
+        "vs_baseline": round(masks_per_sec / H100_REFERENCE_MASKS_PER_SEC, 1),
     }))
 
 

@@ -133,4 +133,52 @@ if __name__ == "__main__":
                 os.environ.pop("MEDPLIB_DECODE_FUSED", None)
         elif c == "moe8":
             run("moe8", True, 8, B)
+        elif c == "moe4noroute":
+            # DIAGNOSTIC: constant routing (no router matmul / softmax /
+            # argmax / aux chain) feeding the fused kernel — bounds the
+            # out-of-kernel routing cost named in README's decode-gap note
+            import medplib_tpu.ops.moe as moemod
+            from medplib_tpu.ops.pallas.moe_decode import moe_ffn_decode_int4h
+            orig = moemod._gmm_moe
+
+            def noroute(xs, logits, experts, dtype, block_m=512,
+                        gid_offset=None):
+                s = xs.shape[0]
+                e = logits.shape[-1]
+                idx = jnp.arange(s, dtype=jnp.int32) % e
+                gate_s = jnp.ones((s,), jnp.float32)
+                y = moe_ffn_decode_int4h(xs, experts, idx, gate_s,
+                                         gid_offset, e, int8_x=True)
+                return y.astype(dtype), jnp.zeros((), jnp.float32)
+
+            moemod._gmm_moe = noroute
+            try:
+                run("moe4noroute", True, 4, B)
+            finally:
+                moemod._gmm_moe = orig
+        elif c == "moe4bitcast":
+            # DIAGNOSTIC cost profile of the bitcast(int4)+astype unpack
+            # (WRONG MATH on the current storage; decides the row-pair-
+            # interleaved layout migration)
+            os.environ["MEDPLIB_DECODE_UNPACK"] = "bitcast"
+            try:
+                run(c, True, 4, B)
+            finally:
+                os.environ.pop("MEDPLIB_DECODE_UNPACK", None)
+        elif c == "moe4nounpack":
+            # DIAGNOSTIC floor: skip the in-kernel nibble-unpack shifts
+            # (WRONG MATH — bounds the unpack VPU cost; note i16 shifts
+            # do not legalize in Mosaic, see moe_decode._unpack4h)
+            os.environ["MEDPLIB_DECODE_UNPACK"] = "none"
+            try:
+                run(c, True, 4, B)
+            finally:
+                os.environ.pop("MEDPLIB_DECODE_UNPACK", None)
+        elif c == "moe4bf16x":
+            # fused kernel with bf16 activations (no A8 row/block quant)
+            os.environ["MEDPLIB_DECODE_A8"] = "0"
+            try:
+                run("moe4bf16x", True, 4, B)
+            finally:
+                os.environ.pop("MEDPLIB_DECODE_A8", None)
     log("done")

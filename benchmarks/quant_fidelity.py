@@ -196,36 +196,46 @@ def trained_leg(args, results):
     merged = lora_lib.merge(state.params,
                             scale=tcfg.lora_alpha / tcfg.lora_r)
     del state, batches
+    # the quantizers DONATE their bf16 input (utils/quantize._quantize_*),
+    # so each variant gets a fresh device tree pushed from a host snapshot
+    # — peak device residency stays one bf16 tree + one quantized tree
+    merged_host = jax.tree_util.tree_map(lambda x: np.asarray(x), merged)
+    del merged
 
-    variants = [("bf16", 16, 16), ("int8", 8, 8), ("int4h", 4, 8),
-                ("int4h_a8dec", 4, 8)]
+    def tree_dev():
+        return jax.tree_util.tree_map(lambda x: jnp.asarray(x), merged_host)
+
     ref = ref_tokens = None
-    for name, ebits, abits in variants:
+    # bf16 trained model is the reference; int4h and int4h_a8dec share one
+    # quantized tree (only the decode-kernel activation mode differs)
+    for name, ebits, abits in (("bf16", 16, 16), ("int8", 8, 8),
+                               ("int4h", 4, 8)):
         log(f"L={L} TRAINED variant={name}")
-        if ebits >= 16:
-            qparams = merged
-        else:
-            # fresh containers so quantize_flagship_moe's in-place expert
-            # re-assignment can't touch the bf16 reference tree
-            qparams = qz.quantize_flagship_moe(
-                jax.tree_util.tree_map(lambda x: x, merged),
-                expert_bits=ebits, attn_bits=abits)
-        if name.endswith("_a8dec"):
-            os.environ["MEDPLIB_DECODE_A8"] = "1"
-        try:
-            out = run_variant(cfg, qparams, ref_tokens, args.steps,
-                              args.b, args.t)
-        finally:
-            os.environ.pop("MEDPLIB_DECODE_A8", None)
-        if qparams is not merged:
-            del qparams
-        if ref is None:
-            ref, ref_tokens = out, out["tokens"]
-            continue
-        top1, kl, cos = compare(ref, out)
-        key = f"L{L}trained:bf16->{name}"
-        results[key] = dict(top1=top1, kl=kl, seg_cos=cos)
-        log(f"  {key}: top1={top1:.4f} KL={kl:.5f} seg_cos={cos:.5f}")
+        qparams = tree_dev()
+        if ebits < 16:
+            qparams = qz.quantize_flagship_moe(qparams, expert_bits=ebits,
+                                               attn_bits=abits)
+        subnames = ([name] if name != "int4h"
+                    else ["int4h", "int4h_a8dec"])
+        for sub in subnames:
+            # EXPLICIT A8 mode: the knob defaults ON in ops/moe, so the
+            # plain int4h row must force it off to measure the bf16-x
+            # fused path
+            os.environ["MEDPLIB_DECODE_A8"] = (
+                "1" if sub.endswith("_a8dec") else "0")
+            try:
+                out = run_variant(cfg, qparams, ref_tokens, args.steps,
+                                  args.b, args.t)
+            finally:
+                os.environ.pop("MEDPLIB_DECODE_A8", None)
+            if ref is None:
+                ref, ref_tokens = out, out["tokens"]
+                continue
+            top1, kl, cos = compare(ref, out)
+            key = f"L{L}trained:bf16->{sub}"
+            results[key] = dict(top1=top1, kl=kl, seg_cos=cos)
+            log(f"  {key}: top1={top1:.4f} KL={kl:.5f} seg_cos={cos:.5f}")
+        del qparams
 
 
 def main():
@@ -242,6 +252,8 @@ def main():
     args = ap.parse_args()
     results = {}
     for L in args.layers:
+        if L == 0:  # --layers 0: trained leg only
+            continue
         # *_a8dec: the fused decode kernel's s8xs8 MXU mode (per-row/
         # per-block activation quant, MEDPLIB_DECODE_A8) — the 21.1 vs
         # 23.2 ms/step decode A/B needs its OWN fidelity row
@@ -255,8 +267,10 @@ def main():
         for name, ebits, abits in variants:
             log(f"L={L} variant={name} (expert_bits={ebits}, attn_bits={abits})")
             cfg, params = build(L, ebits, abits)
-            if name.endswith("_a8dec"):
-                os.environ["MEDPLIB_DECODE_A8"] = "1"
+            # explicit A8 mode (the knob defaults ON in ops/moe — without
+            # forcing it off, "int4h" would silently measure the A8 path)
+            os.environ["MEDPLIB_DECODE_A8"] = (
+                "1" if name.endswith("_a8dec") else "0")
             # 32L int8+int8 leaves no room for B=4 logit capture on 16 GB
             b_eff = args.b if L <= 8 else min(args.b, 2)
             try:

@@ -430,8 +430,13 @@ def bench_engine(tiny: bool):
         return b._replace(input_ids=jnp.asarray(ids))
 
     group = os.environ.get("BENCH_ENGINE_GROUP", "0") == "1"
+    # BENCH_ENGINE_PREFILL_CHUNK=N: chunked-prefill interleaving — decode
+    # keeps running between prefill extends instead of stalling all slots
+    # for each admission's monolithic prefill
+    pc = int(os.environ.get("BENCH_ENGINE_PREFILL_CHUNK", "0")) or None
     eng = BatchedEngine(cfg, params, slots=slots, max_new_tokens=new,
-                        chunk=8, group_admission=group, kv_quant=kvq)
+                        chunk=8, group_admission=group, kv_quant=kvq,
+                        prefill_chunk=pc)
     try:
         # deterministically warm every admission bucket's prefill compile
         # (padded power-of-2 groups), plus empty-state/insert/decode, so the

@@ -58,9 +58,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+import os
+
+
+def _unpack_mode() -> str:
+    # read at TRACE time so in-process A/Bs (benchmarks) can flip it
+    return os.environ.get("MEDPLIB_DECODE_UNPACK", "i32")
+
+
 def _unpack4h(p):
     """Packed int8 block -> (low, high) int8 nibble planes. i32 arithmetic
-    shifts (sign-extending); Mosaic has no i8 shift lowering."""
+    shifts (sign-extending): Mosaic legalizes vector shifts at NEITHER i8
+    NOR i16 (arith.shli on vector<..xi16> fails to legalize — measured on
+    libtpu 2026-08), so i32 is the only working width.
+    MEDPLIB_DECODE_UNPACK=none skips the shifts entirely — WRONG MATH,
+    diagnostic floor for the in-kernel unpack VPU cost;
+    MEDPLIB_DECODE_UNPACK=bitcast measures the pltpu.bitcast(int4) +
+    astype hardware unpack (WRONG MATH on the halves-deinterleaved
+    storage — row-pair-interleaved packing would make it exact; this
+    diagnostic decides whether that layout migration pays)."""
+    mode = _unpack_mode()
+    if mode == "none":
+        return p, p
+    if mode == "bitcast":
+        k2 = p.shape[0]
+        w = pltpu.bitcast(p, jnp.int4).astype(jnp.int8)   # [2*K2, bn]
+        return w[:k2], w[k2:]
     p32 = p.astype(jnp.int32)
     lo = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(jnp.int8)
     hi = jnp.right_shift(p32, 4).astype(jnp.int8)
@@ -115,9 +138,16 @@ def _kernel(gid_ref, x_ref, xs_ref, mask_ref, gp_ref, gs_ref, up_ref,
     # AMOUNT (high nibble = (p << 24) >> 28) so only one plane is ever
     # materialized — unpacking both and where-selecting costs a second
     # full-block VPU pass per step
-    p32 = dp_ref[0].astype(jnp.int32)
-    shl = jnp.where(nh == 0, 28, 24)
-    w_sel = jnp.right_shift(jnp.left_shift(p32, shl), 28).astype(jnp.int8)
+    mode = _unpack_mode()
+    if mode == "none":
+        w_sel = dp_ref[0]
+    elif mode == "bitcast":
+        bn_blk = dp_ref.shape[1]
+        w_sel = pltpu.bitcast(dp_ref[0], jnp.int4)[:bn_blk].astype(jnp.int8)
+    else:
+        p32 = dp_ref[0].astype(jnp.int32)
+        shl = jnp.where(nh == 0, 28, 24)
+        w_sel = jnp.right_shift(jnp.left_shift(p32, shl), 28).astype(jnp.int8)
     ds = ds_ref[0].astype(jnp.float32)        # [2, H]
     ds_sel = jnp.where(nh == 0, ds[0:1], ds[1:2])
     if int8_x:

@@ -91,6 +91,7 @@ def tiny_dataset(tmp_path):
     return str(path), str(tmp_path)
 
 
+@pytest.mark.slow
 def test_train_cli_two_steps(fake_tokenizer, tiny_dataset, tmp_path):
     from medplib_tpu.train import cli
     data_json, folder = tiny_dataset

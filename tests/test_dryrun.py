@@ -28,6 +28,7 @@ def test_dryrun_multichip_in_process():
     graft.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_driver_path_single_device():
     """Driver-identical invocation: a process whose backend has ONE device
     imports __graft_entry__ and calls dryrun_multichip(8) with no env

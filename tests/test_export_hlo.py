@@ -4,12 +4,14 @@ the reference's SAM ONNX export)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from medplib_tpu.config import MedplibConfig
 from medplib_tpu.models import medplib
 from medplib_tpu.utils.export import export_seg_decoder
 
 
+@pytest.mark.slow
 def test_export_roundtrip_matches_direct_call():
     cfg = MedplibConfig.tiny()
     params = medplib.init_medplib(jax.random.PRNGKey(0), cfg)

@@ -90,6 +90,7 @@ def test_separate_mask_encoder_mode(icl_data):
     assert int((s["input_ids"] == -200).sum()) == 3
 
 
+@pytest.mark.slow
 def test_icl_end_to_end_forward(icl_data):
     ds = _dataset(icl_data, mask_mode="separate", use_mask_encoder=True)
     samples = [ds[0], ds[1]]

@@ -69,6 +69,7 @@ def corpus(tmp_path_factory):
     return str(tmp)
 
 
+@pytest.mark.slow
 def test_rag_augment_feeds_icl_generate(corpus):
     vcfg = ClipVisionConfig.tiny()
     enc = image_rag.ImageRagEncoder(

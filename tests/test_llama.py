@@ -152,6 +152,7 @@ def test_int8_kv_cache_generate_tokens(hf_pair):
     assert r_q.pred_masks.shape == r_f.pred_masks.shape
 
 
+@pytest.mark.slow
 def test_stacked_w8a8_attention_prefill_parity(monkeypatch):
     """The whole-stack layer-indexed W8A8 attention path (ops/stacked.py;
     OPT-IN via MEDPLIB_STACK_ATTN=1 — measured slower than the XLA

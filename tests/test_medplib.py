@@ -78,6 +78,7 @@ def test_region_path(tiny_model):
     assert np.isfinite(float(out["loss"]))
 
 
+@pytest.mark.slow
 def test_gradients_flow_to_trainable_heads(tiny_model):
     cfg, params = tiny_model
     batch = _make_batch(cfg)

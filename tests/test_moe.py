@@ -687,6 +687,7 @@ def test_stacked_gmm_forward_matches_sliced():
     assert st is None
 
 
+@pytest.mark.slow
 def test_pad_moe_experts_for_gmm_exact():
     """M-padding (utils/quantize.pad_moe_experts_for_gmm) is invisible:
     every dispatch computes identical outputs on the padded tree, and the
@@ -967,3 +968,4 @@ def test_fused_decode_kernel_matches_gmm_and_sort(monkeypatch):
     y_a8 = run(x)
     rel = np.linalg.norm(y_a8 - y_gmm) / np.linalg.norm(y_gmm)
     assert rel < 0.03, rel
+

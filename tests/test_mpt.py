@@ -27,6 +27,7 @@ def test_alibi_slopes_match_reference(n_heads):
                                ref_slopes(n_heads), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_forward_shapes_and_cache_consistency():
     cfg = mpt.MptConfig.tiny()
     params = mpt.init_mpt(jax.random.PRNGKey(0), cfg)
@@ -86,6 +87,7 @@ def test_clip_qkv_and_qk_ln_paths():
     assert bool(jnp.all(jnp.isfinite(logits)))
 
 
+@pytest.mark.slow
 def test_greedy_generate():
     cfg = mpt.MptConfig.tiny()
     params = mpt.init_mpt(jax.random.PRNGKey(0), cfg)

@@ -10,9 +10,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_two_process_dryrun():
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts",

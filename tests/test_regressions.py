@@ -7,12 +7,14 @@ import random
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import __graft_entry__ as ge
 from medplib_tpu.config import MedplibConfig, MoeConfig
 from medplib_tpu.models import llama, medplib
 
 
+@pytest.mark.slow
 def test_generated_seg_capture_matches_full_forward():
     """The mask decoded for a generated <SEG> must come from the hidden state
     of the step that PREDICTED the SEG token (reference shifted-mask

@@ -73,6 +73,7 @@ def torch_sam(oracle):
     return image_encoder, prompt_encoder, mask_decoder, params, cfg
 
 
+@pytest.mark.slow
 def test_image_encoder_parity(torch_sam):
     image_encoder, _, _, params, cfg = torch_sam
     rng = np.random.default_rng(0)

@@ -12,6 +12,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import __graft_entry__ as ge
 from medplib_tpu.config import MedplibConfig
@@ -169,6 +170,7 @@ def test_multi_seg_generation_distinct_masks():
                                np.asarray(want), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_multi_seg_prompt_and_generated_ordering():
     """Prompt SEGs fill slots before generated ones; max_segs caps capture."""
     cfg = MedplibConfig.tiny()

@@ -61,6 +61,7 @@ def test_trainable_mask_selects_lora_and_sft():
     assert mask["norm"]["weight"] is False
 
 
+@pytest.mark.slow
 def test_train_step_updates_only_trainable():
     cfg, params = _tiny()
     params["llm"] = lora.inject(jax.random.PRNGKey(1), params["llm"],
