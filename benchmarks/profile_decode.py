@@ -156,24 +156,11 @@ if __name__ == "__main__":
                 run("moe4noroute", True, 4, B)
             finally:
                 moemod._gmm_moe = orig
-        elif c == "moe4bitcast":
-            # DIAGNOSTIC cost profile of the bitcast(int4)+astype unpack
-            # (WRONG MATH on the current storage; decides the row-pair-
-            # interleaved layout migration)
-            os.environ["MEDPLIB_DECODE_UNPACK"] = "bitcast"
-            try:
-                run(c, True, 4, B)
-            finally:
-                os.environ.pop("MEDPLIB_DECODE_UNPACK", None)
-        elif c == "moe4nounpack":
-            # DIAGNOSTIC floor: skip the in-kernel nibble-unpack shifts
-            # (WRONG MATH — bounds the unpack VPU cost; note i16 shifts
-            # do not legalize in Mosaic, see moe_decode._unpack4h)
-            os.environ["MEDPLIB_DECODE_UNPACK"] = "none"
-            try:
-                run(c, True, 4, B)
-            finally:
-                os.environ.pop("MEDPLIB_DECODE_UNPACK", None)
+        # (round-5 note: the moe4bitcast / moe4nounpack diagnostics —
+        # 19.83 / 19.72 ms/step vs 21.10 default — decided the
+        # interleaved-pairs layout migration; the hardware bitcast unpack
+        # is now the ONLY path, so the MEDPLIB_DECODE_UNPACK knob and
+        # these cases are gone)
         elif c == "moe4bf16x":
             # fused kernel with bf16 activations (no A8 row/block quant)
             os.environ["MEDPLIB_DECODE_A8"] = "0"

@@ -15,13 +15,15 @@ E * (bm - 1) rows — for the flagship (E=2, bm=512) ~0.02% of a prefill.
 
 Weights: bf16/f32 [E, K, N], or int8 [E, K, N] + per-channel scale
 [E, 1, N] (dequant fused at the epilogue), or — via `gmm_int4h` — the
-int4 deinterleaved-halves layout [E, K/2, N] packed + per-half scales
-[E, 2, 1, N]: each packed block is read ONCE and dotted twice (low and
-high nibble unpacked in-register with arithmetic shifts), so expert HBM
-traffic is 0.5 byte/weight and residency half of int8's — what lets the
-full 32L x 2e flagship run at batch sizes int8 experts cannot fit.
-int4h stacks with finer-grained scales (G > 2) fall back to the
-per-layer outside-dequant bf16 path in ops/moe._gmm_moe.
+int4 interleaved-pairs layout [E, K/2, N] packed + per-half scales
+[E, 2, 1, N]: each packed block DMAs once at 0.5 byte/weight and unpacks
+to natural logical row order in ONE hardware op (`pltpu.bitcast(int4)` —
+the pairs packing exists to match its nibble order; the prior
+deinterleaved-halves layout needed two i32 shift chains per plane, the
+dominant VPU cost of the int4 decode path), so expert residency is half
+of int8's — what lets the full 32L x 2e flagship run at batch sizes int8
+experts cannot fit. int4h stacks with finer-grained scales (G > 2) fall
+back to the per-layer outside-dequant bf16 path in ops/moe._gmm_moe.
 
 Used by ops/moe.moe_mlp(dispatch_mode="gmm"). Reference scope:
 deepspeed MoE inference path, medplib_moe_llama.py:602-614.
@@ -188,8 +190,25 @@ def gmm(x: jnp.ndarray, w: jnp.ndarray, tile_gid: jnp.ndarray,
     return out[:, :n]
 
 
+def unpack_pairs(p: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    """Packed int8 [R, C] (pairs layout: logical rows 2r / 2r+1 in packed
+    row r's lo/hi nibbles, utils/quantize._quantize_kernel4h) -> int8
+    [2R, C] logical rows in NATURAL order. On TPU this is ONE hardware
+    narrowing bitcast (probe-verified row order: lo of row r, then hi);
+    the interpret path (CPU tests) reproduces the same order with shifts
+    + interleave (perf-irrelevant there)."""
+    if not interpret:
+        return pltpu.bitcast(p, jnp.int4).astype(jnp.int8)
+    p32 = p.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(jnp.int8)
+    hi = jnp.right_shift(p32, 4).astype(jnp.int8)
+    r, c = p.shape
+    return jnp.stack([lo, hi], axis=1).reshape(2 * r, c)
+
+
 def _kernel_int4h(gid_ref, x_ref, p_ref, s_ref, as_ref, o_ref,
-                  acc_lo_ref, acc_hi_ref, *, n_kb: int, int8_x: bool):
+                  acc_lo_ref, acc_hi_ref, *, n_kb: int, kb_lo: int,
+                  single: bool, int8_x: bool, interpret: bool):
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
@@ -197,25 +216,34 @@ def _kernel_int4h(gid_ref, x_ref, p_ref, s_ref, as_ref, o_ref,
         acc_lo_ref[...] = jnp.zeros_like(acc_lo_ref)
         acc_hi_ref[...] = jnp.zeros_like(acc_hi_ref)
 
-    p = p_ref[0]                                   # [bk, bn] packed nibbles
-    # arithmetic shifts sign-extend: low nibble = (p << 28) >> 28 and high
-    # = p >> 4, done in i32 — Mosaic has no i8 shift lowering
-    # (arith.shli on vector<..xi8> fails to legalize)
-    p32 = p.astype(jnp.int32)
-    w_lo = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(jnp.int8)
-    w_hi = jnp.right_shift(p32, 4).astype(jnp.int8)
-    x_lo, x_hi = x_ref[0], x_ref[1]                # [bm, bk] each half
-    if int8_x:                                      # W4A8 on the int8 MXU
-        acc_lo_ref[...] += jax.lax.dot(x_lo, w_lo,
-                                       preferred_element_type=jnp.int32)
-        acc_hi_ref[...] += jax.lax.dot(x_hi, w_hi,
-                                       preferred_element_type=jnp.int32)
+    w = unpack_pairs(p_ref[0], interpret)    # [2*bk, bn] natural rows
+    x = x_ref[...]                           # [bm, 2*bk] logical columns
+    bf = jnp.bfloat16
+
+    def dot(a, b):
+        if int8_x:                           # W4A8 on the int8 MXU
+            return jax.lax.dot(a, b, preferred_element_type=jnp.int32)
+        return jax.lax.dot(a.astype(bf), b.astype(bf),
+                           preferred_element_type=jnp.float32)
+
+    if single:
+        # one K block spans both scale groups: slice at the (sublane-
+        # aligned) group boundary and accumulate each half separately
+        k2 = w.shape[0] // 2
+        acc_lo_ref[...] += dot(x[:, :k2], w[:k2])
+        acc_hi_ref[...] += dot(x[:, k2:], w[k2:])
     else:
-        bf = jnp.bfloat16
-        acc_lo_ref[...] += jax.lax.dot(x_lo.astype(bf), w_lo.astype(bf),
-                                       preferred_element_type=jnp.float32)
-        acc_hi_ref[...] += jax.lax.dot(x_hi.astype(bf), w_hi.astype(bf),
-                                       preferred_element_type=jnp.float32)
+        # blocks never straddle the boundary (bk | K/4 by construction):
+        # the whole block belongs to group (kk >= kb_lo)
+        d = dot(x, w)
+
+        @pl.when(kk < kb_lo)
+        def _lo():
+            acc_lo_ref[...] += d
+
+        @pl.when(kk >= kb_lo)
+        def _hi():
+            acc_hi_ref[...] += d
 
     @pl.when(kk == n_kb - 1)
     def _fin():
@@ -235,22 +263,24 @@ def gmm_int4h(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
               block_m: int = 512, block_n: int = 512,
               out_dtype=None, allow_pad: bool = True,
               block_k: int | None = None) -> jnp.ndarray:
-    """Grouped matmul over int4 deinterleaved-halves expert weights.
+    """Grouped matmul over int4 interleaved-pairs expert weights.
 
     x [Sp, K] group-aligned rows (int8 with a_scale [Sp, 1] for W4A8, else
-    float); packed [E, K/2, N] nibble-packed int8 (logical row r in the low
-    nibble of packed row r, row r + K/2 in its high nibble —
+    float); packed [E, K/2, N] nibble-packed int8 (logical rows 2r / 2r+1
+    in packed row r's lo/hi nibbles —
     utils/quantize._quantize_kernel4h); scale [E, 2, 1, N] per-half
     per-channel (groups=2); tile_gid [Sp // block_m]. Requires K/2 % 128 == 0
-    (lane alignment for the half blocks). -> [Sp, N].
+    (lane alignment). -> [Sp, N].
 
-    The two logical x halves are pre-split into one stacked [2, Sp, K/2]
-    operand outside the kernel (one strided copy of x), so each grid step
-    DMAs a single [2, bm, bk] block: the packed weight block is read once
-    and dotted twice against it. Splitting also makes K/2 zero-padding
-    legal (padding the packed rows can no longer shift the half boundary),
-    so awkward K/2 like 5504 = 43x128 pad up to a large-block shape
-    instead of running 43 tiny accumulate steps."""
+    Pairs packing means a packed K-block covers CONTIGUOUS logical rows,
+    so x streams straight from [Sp, K] (the prior halves layout needed a
+    pre-split [2, Sp, K/2] strided copy of every activation) and the
+    in-kernel unpack is one hardware bitcast (`unpack_pairs`). K blocks
+    are sized to divide K/4 so no block straddles the scale-group
+    boundary; awkward K/2 without a good divisor (e.g. unpadded
+    5504 = 43x128) degrades to small blocks — the flagship stacks are
+    pre-padded (utils/quantize.pad_moe_experts_for_gmm) to shapes with
+    large divisors (5632 -> bk 1408)."""
     sp, k = x.shape
     e, k2, n = packed.shape
     assert 2 * k2 == k and scale.shape == (e, 2, 1, n)
@@ -264,28 +294,27 @@ def gmm_int4h(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
     if a_scale is None:
         a_scale = jnp.ones((sp, 1), jnp.float32)
 
-    # one [2, Sp, k2] activation operand; zero-pad k2 when its divisor
-    # structure only allows tiny K blocks. The kernel holds the stacked x
-    # block + two accumulators in VMEM — cap bk by activation width (f32 x
-    # at bk=2048 measured 20 MB > the 16 MB scoped-vmem limit)
-    xs = jnp.stack([x[:, :k2], x[:, k2:]])
-    # block_k raises the K-block cap (in k2 rows): tiny-m decode tiles are
-    # grid-step-latency-bound, not VMEM-bound — fewer, larger blocks win
-    # (one gmm_int4h call at decode shapes measured 0.53 ms with the
-    # default 88-step grid vs a 0.058 ms traffic roofline)
+    # block_k raises the K-block cap (in packed rows): tiny-m decode tiles
+    # are grid-step-latency-bound, not VMEM-bound — fewer, larger blocks
+    # win (one gmm_int4h call at decode shapes measured 0.53 ms with the
+    # default 88-step grid vs a 0.058 ms traffic roofline). Cap by
+    # activation width: the kernel holds the [bm, 2bk] x block, the packed
+    # + unpacked w blocks and two accumulators in VMEM.
     cap = block_k if block_k else max(512, 2048 // x.dtype.itemsize)
+    k4 = k2 // 2                            # group boundary, packed rows
     if k2 <= cap:
-        bk, k2_pad = k2, 0                  # single K block
+        bk, single, kb_lo = k2, True, 1     # one block spans both groups
     else:
-        bk = _best_block(k2, cap)
-        if bk < cap and allow_pad:          # only tiny divisors: pad up
-            bk, k2_pad = cap, -k2 % cap
-        else:                               # no-pad (whole-stack operand):
-            k2_pad = 0                      # keep the largest dividing block
-    if k2_pad:
-        xs = jnp.pad(xs, ((0, 0), (0, 0), (0, k2_pad)))
-        packed = jnp.pad(packed, ((0, 0), (0, k2_pad), (0, 0)))
-    n_kb = (k2 + k2_pad) // bk
+        # largest x-lane-aligned (2bk % 128 -> bk % 64) block dividing the
+        # boundary: bk | k4 keeps every block inside one scale group
+        bk = 0
+        for mult in range(min(cap, k4) // 64, 0, -1):
+            if k4 % (64 * mult) == 0:
+                bk = 64 * mult
+                break
+        assert bk, (k2, k4)
+        single, kb_lo = False, k4 // bk
+    n_kb = k2 // bk
 
     if not allow_pad and n % bn:
         # no-pad operands (whole-stack): shrink to the largest dividing
@@ -297,11 +326,14 @@ def gmm_int4h(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
         scale = jnp.pad(scale, ((0, 0), (0, 0), (0, 0), (0, n_pad)))
     np_ = n + n_pad
 
+    interpret = jax.default_backend() != "tpu"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(sp // bm, np_ // bn, n_kb),
         in_specs=[
-            pl.BlockSpec((2, bm, bk), lambda i, j, kk, gid: (0, i, kk)),
+            # x K-block kk = logical columns [2*kk*bk, 2*(kk+1)*bk) —
+            # contiguous under the pairs packing, no pre-split operand
+            pl.BlockSpec((bm, 2 * bk), lambda i, j, kk, gid: (i, kk)),
             pl.BlockSpec((1, bk, bn), lambda i, j, kk, gid: (gid[i], kk, j)),
             pl.BlockSpec((1, 2, 1, bn),
                          lambda i, j, kk, gid: (gid[i], 0, 0, j)),
@@ -314,18 +346,19 @@ def gmm_int4h(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel_int4h, n_kb=n_kb, int8_x=int8_x),
+        functools.partial(_kernel_int4h, n_kb=n_kb, kb_lo=kb_lo,
+                          single=single, int8_x=int8_x, interpret=interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((sp, np_), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * sp * np_ * k,
-            bytes_accessed=xs.size * xs.dtype.itemsize
-            + (sp // bm) * (k2 + k2_pad) * np_ + sp * np_ * 2,
+            bytes_accessed=x.size * x.dtype.itemsize
+            + (sp // bm) * k2 * np_ + sp * np_ * 2,
             transcendentals=0),
-        interpret=jax.default_backend() != "tpu",
-    )(tile_gid, xs, packed, scale, a_scale)
+        interpret=interpret,
+    )(tile_gid, x, packed, scale, a_scale)
     return out[:, :n]
 
 

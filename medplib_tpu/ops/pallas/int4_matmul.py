@@ -1,11 +1,13 @@
-"""int4 (deinterleaved-halves) matmul as a Pallas TPU kernel.
+"""int4 (interleaved-pairs) matmul as a Pallas TPU kernel.
 
-y = x @ dequant(w) with w nibble-packed int8 in the "half" layout
-(utils/quantize._quantize_kernel4h: logical rows [0, K/2) in the low
-nibble, [K/2, K) in the high nibble, groupwise scales). The packed bytes
-stream HBM->VMEM once (0.5 bytes/weight — HALF the int8 kernel's weight
-traffic) and the unpack (two arithmetic shifts) + group-scale multiply
-happen in-register before the MXU dot.
+y = x @ dequant(w) with w nibble-packed int8 in the pairs layout
+(utils/quantize._quantize_kernel4h: logical rows 2r / 2r+1 in packed row
+r's lo/hi nibbles — the hardware bitcast's nibble order). The packed
+bytes stream HBM->VMEM once (0.5 bytes/weight — HALF the int8 kernel's
+weight traffic); the normal layout unpacks to natural row order in ONE
+`pltpu.bitcast` and dots once, the transposed layout (packed along its
+LAST axis, which bitcast cannot widen) keeps the shift unpack and pairs
+the nibble planes with even/odd activation columns prepared outside.
 
 This is the sibling of ops/pallas/int8_matmul for the int4 capacity
 config (reference bnb NF4 scope, /root/reference/chat.py:94-100): used by
@@ -26,43 +28,56 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, w_ref, s_ref, o_ref, *, transposed: bool, groups: int):
+def _expand_group_scales(s, groups: int, shape, group_axis: int):
+    """Broadcast per-group scales to a full [rows, cols] factor by
+    iota-compare selection (Mosaic rejects the lane/sublane-splitting
+    reshape (R, C) -> (R, G, C/G); G selects over a broadcasted iota
+    lower fine and this kernel is not traffic-bound). s: [G] slices each
+    broadcastable to `shape`; group id = index along `group_axis` //
+    (extent / G)."""
+    per = shape[group_axis] // groups
+    gid = jax.lax.broadcasted_iota(jnp.int32, shape, group_axis) // per
+    out = jnp.zeros(shape, jnp.float32)
+    for g in range(groups):
+        out = jnp.where(gid == g, s[g], out)
+    return out
+
+
+def _kernel(x_ref, w_ref, s_ref, o_ref, *, groups: int, interpret: bool):
+    from medplib_tpu.ops.pallas.gmm import unpack_pairs
     x = x_ref[...]                      # [bm, K] activation block
-    p = w_ref[...]                      # packed [K/2, bn] or [bn, K/2]
-    s = s_ref[...].astype(jnp.float32)  # [G, 1, bn] or [G, bn, 1]
-    lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
-    hi = jnp.right_shift(p, 4)
-    gh = groups // 2  # scale groups per nibble half
+    p = w_ref[...]                      # packed [K/2, bn]
+    s = s_ref[...].astype(jnp.float32)  # [G, 1, bn]
+    w = unpack_pairs(p, interpret).astype(jnp.float32)   # [K, bn] natural
+    # groupwise dequant on contiguous logical rows, then ONE dot
+    w = w * _expand_group_scales(s, groups, w.shape, 0)
+    acc = jnp.dot(x.astype(jnp.float32), w,
+                  preferred_element_type=jnp.float32)
+    o_ref[...] = acc.astype(o_ref.dtype)
 
-    def scaled(q, s_half, axis_k):
-        # q [K/2, bn] (or [bn, K/2]); s_half [gh, 1, bn] (or [gh, bn, 1])
-        w = q.astype(jnp.float32)
-        if axis_k == 0:
-            k2, bn = w.shape
-            w = w.reshape(gh, k2 // gh, bn) * s_half
-            return w.reshape(k2, bn)
-        bn, k2 = w.shape
-        w = (w.reshape(bn, gh, k2 // gh) *
-             jnp.moveaxis(s_half, 0, 1))  # [bn, gh, 1]
-        return w.reshape(bn, k2)
 
-    axis_k = 1 if transposed else 0
-    w_lo = scaled(lo, s[:gh], axis_k)
-    w_hi = scaled(hi, s[gh:], axis_k)
-    k2 = x.shape[1] // 2
-    x32 = x.astype(jnp.float32)
-    if transposed:
-        acc = jax.lax.dot_general(
-            x32[:, :k2], w_lo, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc += jax.lax.dot_general(
-            x32[:, k2:], w_hi, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    else:
-        acc = jnp.dot(x32[:, :k2], w_lo,
-                      preferred_element_type=jnp.float32)
-        acc += jnp.dot(x32[:, k2:], w_hi,
-                       preferred_element_type=jnp.float32)
+def _kernel_t(x_ref, w_ref, s_ref, o_ref, *, groups: int):
+    # transposed: packed along the LAST axis (bitcast widens only dim -2),
+    # so unpack stays two shift chains; the nibble PLANES pair with the
+    # even/odd activation columns stacked outside ([2, bm, K/2])
+    x_even, x_odd = x_ref[0], x_ref[1]  # [bm, K/2] each
+    p = w_ref[...]                      # packed [bn, K/2]
+    s = s_ref[...].astype(jnp.float32)  # [G, bn, 1]
+    # i32 shifts: Mosaic legalizes vector shifts at neither i8 nor i16
+    # (arith.shli on vector<..xi8> fails — this kernel had shifted at i8
+    # and could never have compiled on hardware before round 5)
+    p32 = p.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)
+    hi = jnp.right_shift(p32, 4)
+    # both nibble planes of a packed column share its scale group
+    sf = _expand_group_scales(s, groups, p.shape, 1)
+
+    acc = jax.lax.dot_general(
+        x_even.astype(jnp.float32), lo.astype(jnp.float32) * sf,
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(
+        x_odd.astype(jnp.float32), hi.astype(jnp.float32) * sf,
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
@@ -102,26 +117,34 @@ def _matmul(x2d: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
             scale = jnp.pad(scale, ((0, 0), (0, 0), (0, n_pad)))
     np_ = n + n_pad
 
+    interpret = jax.default_backend() != "tpu"
     if transposed:
+        # parity-stacked activations: even/odd logical columns pair with
+        # the lo/hi nibble planes (one strided copy, outside the kernel)
+        xs = jnp.stack([x2d[:, 0::2], x2d[:, 1::2]])     # [2, M, K/2]
         w_spec = pl.BlockSpec((bn, k // 2), lambda i, j: (j, 0),
                               memory_space=pltpu.VMEM)
         s_spec = pl.BlockSpec((groups, bn, 1), lambda i, j: (0, j, 0),
                               memory_space=pltpu.VMEM)
+        kern = functools.partial(_kernel_t, groups=groups)
+        x_spec = pl.BlockSpec((2, bm, k // 2), lambda i, j: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+        x_in = xs
     else:
         w_spec = pl.BlockSpec((k // 2, bn), lambda i, j: (0, j),
                               memory_space=pltpu.VMEM)
         s_spec = pl.BlockSpec((groups, 1, bn), lambda i, j: (0, 0, j),
                               memory_space=pltpu.VMEM)
+        kern = functools.partial(_kernel, groups=groups,
+                                 interpret=interpret)
+        x_spec = pl.BlockSpec((bm, k), lambda i, j: (i, 0),
+                              memory_space=pltpu.VMEM)
+        x_in = x2d
 
     out = pl.pallas_call(
-        functools.partial(_kernel, transposed=transposed, groups=groups),
+        kern,
         grid=(mp // bm, np_ // bn),
-        in_specs=[
-            pl.BlockSpec((bm, k), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            w_spec,
-            s_spec,
-        ],
+        in_specs=[x_spec, w_spec, s_spec],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, np_), x2d.dtype),
@@ -130,8 +153,8 @@ def _matmul(x2d: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
             bytes_accessed=(x2d.size * x2d.dtype.itemsize + w.size
                             + mp * np_ * 2),
             transcendentals=0),
-        interpret=jax.default_backend() != "tpu",
-    )(x2d, w, scale)
+        interpret=interpret,
+    )(x_in, w, scale)
     return out[:m, :n]
 
 

@@ -22,18 +22,21 @@ one pallas_call per layer, reading every weight byte exactly once:
   contribute only during e's grid steps), so the [B, H] accumulator IS
   the MoE output when the grid finishes.
 
-Weight layout is the stored int4 deinterleaved-halves stack
-(utils/quantize._quantize_kernel4h): packed [G, K/2, N] with logical row
-r in the low nibble of packed row r and row r + K/2 in the high nibble,
-per-half scales [G, 2, 1, N]. The N-half grid axis exists because the
-down projection's packed rows pair M-row r (low nibble) with r + M/2
-(high): act columns from gate/up column block (nh, j) are exactly the
-nibble-plane nh of down row block j — and with nh innermost, the two
-half-steps share one down-block DMA (the index map ignores nh, so the
-block stays resident). Blocks carry NO size-2 axes: a [K/2, 2, bn] block
-sublane-pads 2 -> 8 and quadruples its VMEM footprint (measured
-20-29 MB scoped OOM); indexing the flat [K/2, M] column axis with
-nh*n_j + j avoids any relayout.
+Weight layout is the stored int4 interleaved-pairs stack
+(utils/quantize._quantize_kernel4h): packed [G, K/2, N] with logical
+rows 2r / 2r+1 in packed row r's lo/hi nibbles, per-half scales
+[G, 2, 1, N]. The pairs order is exactly what the hardware narrowing
+bitcast emits, so each weight block unpacks to natural logical order in
+ONE op (ops/pallas/gmm.unpack_pairs) — the prior halves layout needed
+two i32 shift chains per nibble plane, and those chains were the ENTIRE
+residual decode gap vs the dense int8 floor (21.10 ms/step vs the 19.72
+no-unpack diagnostic floor; bitcast cost profile 19.83 —
+benchmarks/profile_decode.py, round 5). The N-half grid axis maps column
+block (nh, j) of gate/up to down PACKED row block nh*n_j + j (bn logical
+= bn/2 packed rows, all in scale group nh). Blocks carry NO size-2 axes:
+a [K/2, 2, bn] block sublane-pads 2 -> 8 and quadruples its VMEM
+footprint (measured 20-29 MB scoped OOM); indexing the flat [K/2, M]
+column axis with nh*n_j + j avoids any relayout.
 
 Single-shard path (the 1-chip flagship decode); the expert-parallel
 dispatch keeps the 3-call gmm inside its shard_map (ops/moe._gmm_moe_ep).
@@ -58,41 +61,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-import os
-
-
-def _unpack_mode() -> str:
-    # read at TRACE time so in-process A/Bs (benchmarks) can flip it
-    return os.environ.get("MEDPLIB_DECODE_UNPACK", "i32")
-
-
-def _unpack4h(p):
-    """Packed int8 block -> (low, high) int8 nibble planes. i32 arithmetic
-    shifts (sign-extending): Mosaic legalizes vector shifts at NEITHER i8
-    NOR i16 (arith.shli on vector<..xi16> fails to legalize — measured on
-    libtpu 2026-08), so i32 is the only working width.
-    MEDPLIB_DECODE_UNPACK=none skips the shifts entirely — WRONG MATH,
-    diagnostic floor for the in-kernel unpack VPU cost;
-    MEDPLIB_DECODE_UNPACK=bitcast measures the pltpu.bitcast(int4) +
-    astype hardware unpack (WRONG MATH on the halves-deinterleaved
-    storage — row-pair-interleaved packing would make it exact; this
-    diagnostic decides whether that layout migration pays)."""
-    mode = _unpack_mode()
-    if mode == "none":
-        return p, p
-    if mode == "bitcast":
-        k2 = p.shape[0]
-        w = pltpu.bitcast(p, jnp.int4).astype(jnp.int8)   # [2*K2, bn]
-        return w[:k2], w[k2:]
-    p32 = p.astype(jnp.int32)
-    lo = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(jnp.int8)
-    hi = jnp.right_shift(p32, 4).astype(jnp.int8)
-    return lo, hi
 
 
 def _kernel(gid_ref, x_ref, xs_ref, mask_ref, gp_ref, gs_ref, up_ref,
             us_ref, dp_ref, ds_ref, o_ref, acc_ref, *, n_e: int, n_j: int,
-            int8_x: bool):
+            int8_x: bool, interpret: bool):
+    from medplib_tpu.ops.pallas.gmm import unpack_pairs
     e, j, nh = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when((e == 0) & (j == 0) & (nh == 0))
@@ -103,7 +77,9 @@ def _kernel(gid_ref, x_ref, xs_ref, mask_ref, gp_ref, gs_ref, up_ref,
     x_lo, x_hi = x_ref[0], x_ref[1]           # [B, K/2] bf16 or s8
 
     def gu(p_ref, s_ref):
-        wl, wh = _unpack4h(p_ref[0])          # [K/2, bn] nibble planes
+        w = unpack_pairs(p_ref[0], interpret)  # [K, bn] natural rows
+        k2 = p_ref.shape[1]
+        wl, wh = w[:k2], w[k2:]               # scale-group halves
         if int8_x:
             # s8 x s8 -> s32 on the int8 MXU: no i8->bf16 convert of the
             # weight block (the VPU cost that kept the bf16 variant at
@@ -134,20 +110,11 @@ def _kernel(gid_ref, x_ref, xs_ref, mask_ref, gp_ref, gs_ref, up_ref,
     mask_e = jnp.sum(jnp.where(cols == e, m, 0.0), axis=1, keepdims=True)
     act = act * mask_e
 
-    # down: nibble plane nh of the shared row block j, selected by SHIFT
-    # AMOUNT (high nibble = (p << 24) >> 28) so only one plane is ever
-    # materialized — unpacking both and where-selecting costs a second
-    # full-block VPU pass per step
-    mode = _unpack_mode()
-    if mode == "none":
-        w_sel = dp_ref[0]
-    elif mode == "bitcast":
-        bn_blk = dp_ref.shape[1]
-        w_sel = pltpu.bitcast(dp_ref[0], jnp.int4)[:bn_blk].astype(jnp.int8)
-    else:
-        p32 = dp_ref[0].astype(jnp.int32)
-        shl = jnp.where(nh == 0, 28, 24)
-        w_sel = jnp.right_shift(jnp.left_shift(p32, shl), 28).astype(jnp.int8)
+    # down: the bn logical rows needed at (nh, j) — gate/up column block
+    # nh*n_j + j — are CONTIGUOUS under the pairs packing (packed row
+    # block nh*n_j + j, bn/2 rows), so the block unpacks straight to the
+    # needed [bn, H] slab; no plane-select shifts
+    w_sel = unpack_pairs(dp_ref[0], interpret)
     ds = ds_ref[0].astype(jnp.float32)        # [2, H]
     ds_sel = jnp.where(nh == 0, ds[0:1], ds[1:2])
     if int8_x:
@@ -275,10 +242,12 @@ def moe_ffn_decode_int4h(x: jnp.ndarray, experts, route_idx: jnp.ndarray,
             pl.BlockSpec((1, 2, bn),
                          lambda ee, j, nh, gid: (gid[0] + ee, 0,
                                                  nh * n_j + j)),
-            # down row block j: index ignores nh, so the two consecutive
-            # half-steps share one DMA of the block
-            pl.BlockSpec((1, bn, h), lambda ee, j, nh, gid: (gid[0] + ee,
-                                                             j, 0)),
+            # down: the bn logical rows for (nh, j) are packed row block
+            # nh*n_j + j (bn/2 packed rows — pairs layout); same total
+            # bytes as the prior shared full-block DMA, fetched per step
+            pl.BlockSpec((1, bn // 2, h),
+                         lambda ee, j, nh, gid: (gid[0] + ee,
+                                                 nh * n_j + j, 0)),
             pl.BlockSpec((1, 2, h), lambda ee, j, nh, gid: (gid[0] + ee,
                                                             0, 0)),
         ],
@@ -286,7 +255,8 @@ def moe_ffn_decode_int4h(x: jnp.ndarray, experts, route_idx: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((bt, h), jnp.float32)],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, n_e=e, n_j=n_j, int8_x=int8_x),
+        functools.partial(_kernel, n_e=e, n_j=n_j, int8_x=int8_x,
+                          interpret=jax.default_backend() != "tpu"),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bt, h), x.dtype),
         compiler_params=pltpu.CompilerParams(

@@ -110,22 +110,28 @@ def _quantize_kernel4(kernel: jnp.ndarray, transposed: bool, block: int):
 
 @functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(0,))
 def _quantize_kernel4h(kernel: jnp.ndarray, transposed: bool, groups: int):
-    """int4 'deinterleaved halves' packing (the FAST int4 layout).
+    """int4 'interleaved pairs' packing (the FAST int4 layout).
 
-    Logical reduction rows [0, K/2) go to the LOW nibble of packed row r;
-    rows [K/2, K) to the HIGH nibble of packed row r - K/2 — so unpacking
-    either half is a pure elementwise shift on the packed array, which XLA
-    fuses straight into the matmul operand read (the interleaved `scale4`
-    layout's stack+reshape unpack cannot fuse and materializes a bf16 copy
-    of the kernel — measured 5.2 vs 12.6 masks/s at 7B, round 2).
+    Logical reduction row 2r goes to the LOW nibble of packed row r and
+    row 2r + 1 to its HIGH nibble — the exact order the TPU's hardware
+    narrowing bitcast produces (`pltpu.bitcast(packed, int4)` emits row 2r
+    then 2r + 1; jax mosaic primitives, bitcast lowering), so the Pallas
+    kernels unpack a packed block to natural logical order in ONE
+    hardware op instead of two i32 shift chains per plane (the shift
+    chains were the entire residual fused-decode gap: 21.10 vs 19.83
+    ms/step, benchmarks/profile_decode.py, round 5). XLA (non-Pallas)
+    consumers pair the lo/hi nibble planes with even/odd activation
+    columns (`_split_parity`) so their unpack stays a fusible elementwise
+    shift — no materialized bf16 kernel copy (the round-2 failure mode of
+    stack+reshape dequant: 5.2 vs 12.6 masks/s at 7B).
 
     Scales are blockwise along the reduction axis with `groups` contiguous
-    groups (groups must be even so group boundaries align with the nibble
-    halves): normal [.., K, N] kernels -> packed [.., K/2, N] +
-    scale4h [.., G, 1, N]; transposed [.., N, K] -> packed [.., N, K/2] +
-    scale4h [.., G, N, 1] (the dequant distinguishes layouts by which
-    trailing axis is 1, like scale4)."""
-    assert groups % 2 == 0, "groups must be even (nibble halves)"
+    LOGICAL groups (groups must be even; a group then covers a contiguous
+    range of packed rows with both nibbles): normal [.., K, N] kernels ->
+    packed [.., K/2, N] + scale4h [.., G, 1, N]; transposed [.., N, K] ->
+    packed [.., N, K/2] + scale4h [.., G, N, 1] (the dequant distinguishes
+    layouts by which trailing axis is 1, like scale4)."""
+    assert groups % 2 == 0, "groups must be even (pair-aligned boundaries)"
 
     def one(k2):
         w = k2.astype(jnp.float32)
@@ -136,7 +142,8 @@ def _quantize_kernel4h(kernel: jnp.ndarray, transposed: bool, groups: int):
             scale = jnp.max(jnp.abs(wb), axis=-1, keepdims=True) / 7.0
             q = jnp.clip(jnp.round(wb / jnp.maximum(scale, 1e-12)), -8, 7
                          ).astype(jnp.int8).reshape(O, I)
-            lo, hi = q[:, : I // 2], q[:, I // 2:]
+            lo = jax.lax.slice_in_dim(q, 0, I, 2, 1)
+            hi = jax.lax.slice_in_dim(q, 1, I, 2, 1)
             scale = jnp.transpose(scale, (1, 0, 2))  # [O, G, 1] -> [G, O, 1]
         else:
             I, O = w.shape
@@ -145,7 +152,8 @@ def _quantize_kernel4h(kernel: jnp.ndarray, transposed: bool, groups: int):
             scale = jnp.max(jnp.abs(wb), axis=-2, keepdims=True) / 7.0
             q = jnp.clip(jnp.round(wb / jnp.maximum(scale, 1e-12)), -8, 7
                          ).astype(jnp.int8).reshape(I, O)
-            lo, hi = q[: I // 2], q[I // 2:]
+            lo = jax.lax.slice_in_dim(q, 0, I, 2, 0)
+            hi = jax.lax.slice_in_dim(q, 1, I, 2, 0)
             scale = scale.reshape(G, 1, O)
         packed = jnp.bitwise_or(jnp.bitwise_and(lo, jnp.int8(15)),
                                 jnp.left_shift(hi, 4))
@@ -337,27 +345,17 @@ def quantize_flagship_moe(params: Any, expert_bits: int = 4,
 
 
 # ---------------------------------------------------------------------------
-# int4 deinterleaved-halves matmuls (fusible dequant)
+# int4 interleaved-pairs matmuls (fusible dequant)
 # ---------------------------------------------------------------------------
-# One grouped dot per scale group: slice the packed array (contiguous rows),
-# shift-unpack the nibble (pure elementwise -> fuses into the dot operand
-# read), dot in the activation dtype, scale the OUTPUT by the group's
-# per-channel scale. HBM sees only packed int4 bytes — per full kernel the
-# traffic is 2 x 0.5 = 1 byte/weight (each half read by its groups once),
-# i.e. int8-equal decode speed at half the capacity, vs the interleaved
-# layout's materialized bf16 copy (4.5 bytes/weight).
-
-
-def _int4h_group_slices(packed: jnp.ndarray, n_groups: int, axis: int):
-    """Yield (slice, is_low_nibble) pairs covering the logical K rows in
-    group order. Groups never straddle the nibble halves (G is even)."""
-    k2 = packed.shape[axis]
-    gs = 2 * k2 // n_groups  # logical rows per group
-    for g in range(n_groups):
-        r0 = g * gs
-        low = r0 < k2
-        c0 = r0 if low else r0 - k2
-        yield jax.lax.slice_in_dim(packed, c0, c0 + gs, axis=axis), low
+# The pairs packing (logical rows 2r / 2r+1 in packed row r's lo/hi
+# nibbles) exists for the Pallas kernels' hardware bitcast unpack; the XLA
+# composition keeps fusibility by pairing nibble PLANES with activation
+# column PARITIES: y_g = x_even @ lo(p_g) + x_odd @ hi(p_g), one pair of
+# grouped dots per scale group, each unpack a pure elementwise shift that
+# fuses into the dot operand read. HBM sees only packed int4 bytes — the
+# traffic is 2 x 0.5 = 1 byte/weight (each packed slice read by its two
+# plane dots), i.e. int8-equal decode speed at half the capacity, vs the
+# stack+reshape dequant's materialized bf16 copy (4.5 bytes/weight).
 
 
 def _unpack(p: jnp.ndarray, low: bool, dtype) -> jnp.ndarray:
@@ -366,15 +364,27 @@ def _unpack(p: jnp.ndarray, low: bool, dtype) -> jnp.ndarray:
     return jnp.right_shift(p, 4).astype(dtype)
 
 
+def _split_parity(x: jnp.ndarray):
+    """Even / odd columns of the logical-K activation — the halves that
+    multiply the lo / hi nibble planes under the pairs packing."""
+    k = x.shape[-1]
+    return (jax.lax.slice_in_dim(x, 0, k, 2, -1),
+            jax.lax.slice_in_dim(x, 1, k, 2, -1))
+
+
 def int4h_matmul(x: jnp.ndarray, packed: jnp.ndarray,
                  scale: jnp.ndarray) -> jnp.ndarray:
-    """x [..., K] @ dequant(packed [K/2, N], scale4h [G, 1, N])."""
+    """x [..., K] @ dequant(packed [K/2, N] pairs, scale4h [G, 1, N])."""
     g_n = scale.shape[-3]
-    gs = 2 * packed.shape[-2] // g_n
+    gs2 = packed.shape[-2] // g_n              # packed rows per group
+    xe, xo = _split_parity(x)
     y = None
-    for g, (pg, low) in enumerate(_int4h_group_slices(packed, g_n, 0)):
-        xg = jax.lax.slice_in_dim(x, g * gs, (g + 1) * gs, axis=-1)
-        yg = xg @ _unpack(pg, low, x.dtype)
+    for g in range(g_n):
+        pg = jax.lax.slice_in_dim(packed, g * gs2, (g + 1) * gs2, axis=-2)
+        xeg = jax.lax.slice_in_dim(xe, g * gs2, (g + 1) * gs2, axis=-1)
+        xog = jax.lax.slice_in_dim(xo, g * gs2, (g + 1) * gs2, axis=-1)
+        yg = (xeg @ _unpack(pg, True, x.dtype)
+              + xog @ _unpack(pg, False, x.dtype))
         yg = yg * scale[g, 0].astype(x.dtype)
         y = yg if y is None else y + yg
     return y
@@ -382,13 +392,18 @@ def int4h_matmul(x: jnp.ndarray, packed: jnp.ndarray,
 
 def int4h_matmul_t(x: jnp.ndarray, packed: jnp.ndarray,
                    scale: jnp.ndarray) -> jnp.ndarray:
-    """x [..., K] @ dequant(packed [N, K/2], scale4h [G, N, 1]).T."""
+    """x [..., K] @ dequant(packed [N, K/2] pairs, scale4h [G, N, 1]).T."""
     g_n = scale.shape[-3]
-    gs = 2 * packed.shape[-1] // g_n
+    gs2 = packed.shape[-1] // g_n
+    xe, xo = _split_parity(x)
     y = None
-    for g, (pg, low) in enumerate(_int4h_group_slices(packed, g_n, 1)):
-        xg = jax.lax.slice_in_dim(x, g * gs, (g + 1) * gs, axis=-1)
-        yg = jnp.einsum("...i,oi->...o", xg, _unpack(pg, low, x.dtype))
+    for g in range(g_n):
+        pg = jax.lax.slice_in_dim(packed, g * gs2, (g + 1) * gs2, axis=-1)
+        xeg = jax.lax.slice_in_dim(xe, g * gs2, (g + 1) * gs2, axis=-1)
+        xog = jax.lax.slice_in_dim(xo, g * gs2, (g + 1) * gs2, axis=-1)
+        yg = (jnp.einsum("...i,oi->...o", xeg, _unpack(pg, True, x.dtype))
+              + jnp.einsum("...i,oi->...o", xog,
+                           _unpack(pg, False, x.dtype)))
         yg = yg * scale[g, :, 0].astype(x.dtype)
         y = yg if y is None else y + yg
     return y
@@ -397,13 +412,18 @@ def int4h_matmul_t(x: jnp.ndarray, packed: jnp.ndarray,
 def int4h_expert_einsum(x: jnp.ndarray, packed: jnp.ndarray,
                         scale: jnp.ndarray) -> jnp.ndarray:
     """MoE expert contraction: einsum('ech,ehm->ecm') over int4h experts.
-    x [E, C, K]; packed [E, K/2, M]; scale4h [E, G, 1, M]."""
+    x [E, C, K]; packed [E, K/2, M] pairs; scale4h [E, G, 1, M]."""
     g_n = scale.shape[-3]
-    gs = 2 * packed.shape[-2] // g_n
+    gs2 = packed.shape[-2] // g_n
+    xe, xo = _split_parity(x)
     y = None
-    for g, (pg, low) in enumerate(_int4h_group_slices(packed, g_n, 1)):
-        xg = jax.lax.slice_in_dim(x, g * gs, (g + 1) * gs, axis=-1)
-        yg = jnp.einsum("ecg,egm->ecm", xg, _unpack(pg, low, x.dtype))
+    for g in range(g_n):
+        pg = jax.lax.slice_in_dim(packed, g * gs2, (g + 1) * gs2, axis=1)
+        xeg = jax.lax.slice_in_dim(xe, g * gs2, (g + 1) * gs2, axis=-1)
+        xog = jax.lax.slice_in_dim(xo, g * gs2, (g + 1) * gs2, axis=-1)
+        yg = (jnp.einsum("ecg,egm->ecm", xeg, _unpack(pg, True, x.dtype))
+              + jnp.einsum("ecg,egm->ecm", xog,
+                           _unpack(pg, False, x.dtype)))
         yg = yg * scale[:, g].astype(x.dtype)[:, None, 0, :]
         y = yg if y is None else y + yg
     return y
@@ -411,14 +431,19 @@ def int4h_expert_einsum(x: jnp.ndarray, packed: jnp.ndarray,
 
 def dequant_int4h(packed: jnp.ndarray, scale: jnp.ndarray,
                   dtype) -> jnp.ndarray:
-    """Materializing dequant for the half layout (parity tests, export).
+    """Materializing dequant for the pairs layout (parity tests, export).
     Normal: packed [.., K/2, N] + scale [.., G, 1, N] -> [.., K, N];
-    transposed: packed [.., N, K/2] + scale [.., G, N, 1] -> [.., N, K]."""
+    transposed: packed [.., N, K/2] + scale [.., G, N, 1] -> [.., N, K].
+    Interleaves the nibble planes (logical rows 2r / 2r+1 from packed row
+    r) — a materializing stack+reshape, fine here: this path never runs
+    in a hot loop."""
     transposed = scale.shape[-1] == 1
     axis = packed.ndim - 1 if transposed else packed.ndim - 2
     lo = _unpack(packed, True, jnp.float32)
     hi = _unpack(packed, False, jnp.float32)
-    w = jnp.concatenate([lo, hi], axis=axis)
+    w = jnp.stack([lo, hi], axis=axis + 1)
+    w = w.reshape(w.shape[:axis] + (2 * packed.shape[axis],)
+                  + packed.shape[axis + 1:])
     g_n = scale.shape[-3]
     if transposed:
         *lead, o, k = w.shape
