@@ -117,7 +117,7 @@ def main():
     # stacks (8.6 GB each) are ever materialized in HBM — only the final
     # int8/int4 tree comes out.
     if moe:
-        # DEFAULT expert layout: int4h (deinterleaved nibble pairs,
+        # DEFAULT expert layout: int4h (interleaved nibble pairs,
         # per-half scales — ~4.3 GB experts instead of 8.6) streamed
         # through the fused W4A8 gmm_int4h. The halved expert residency
         # buys batch 16 (int8 experts cap at 8), which is worth more than

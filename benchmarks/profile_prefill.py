@@ -74,7 +74,7 @@ def run(tag, moe: bool, expert_bits: int, B: int, T: int = 640,
         if moe:
             h, _, aux = moe_llama.forward(p, lcfg, cfg.moe, e, train=False)
             return jnp.sum(h.astype(jnp.float32)) + aux
-        h, _ = llama.forward(p, lcfg, e)
+        h, _, _ = llama.forward(p, lcfg, e)
         return jnp.sum(h.astype(jnp.float32))
 
     with dynamic_act_quant(actq):

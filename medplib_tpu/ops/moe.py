@@ -317,7 +317,15 @@ def _gmm_ffn(x_al: jnp.ndarray, tile_gid: jnp.ndarray, experts, dtype,
     # tiny-m (decode) tiles: larger N/K blocks — the grid-step latency of
     # an 88-step decode grid costs ~9x the weight-traffic roofline per
     # call (ops/pallas/gmm.py gmm_int4h block_k note)
-    big = {"block_n": 1024, "block_k": 2048} if block_m <= 64 else {}
+    if block_m <= 64:
+        big = {"block_n": 1024, "block_k": 2048}
+    else:
+        # prefill N-block A/B (trace-time): the x block is re-DMA'd once
+        # per N block, so bn sets activation traffic (~3 GB/layer of the
+        # flagship prefill at bn=512) — benchmarks/profile_prefill.py
+        import os
+        bn_env = os.environ.get("MEDPLIB_PREFILL_GMM_BN")
+        big = {"block_n": int(bn_env)} if bn_env else {}
 
     def mm(xin, spec):
         kind, w, sc = spec

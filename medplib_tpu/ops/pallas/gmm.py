@@ -393,13 +393,34 @@ def align_groups(xs: jnp.ndarray, expert_idx: jnp.ndarray,
     `dest` vector: no unsort scatter on the way out either.
 
     xs [S, K]; expert_idx [S] int32. -> (x_aligned [Sp, K], dest [S] row
-    ids, tile_gid [Sp // block_m])."""
+    ids, tile_gid [Sp // block_m]).
+
+    E = 2 (the flagship): TWO-ENDED packing — group 0 grows from row 0,
+    group 1 DESCENDS from row Sp-1, so ONE block_m of static gap absorbs
+    both groups' tile alignment instead of the general layout's E
+    round-ups (Sp = S + bm vs S + E*bm: at the flagship prefill that is
+    +5% padded FFN rows instead of +10%, and every aligned m-tile still
+    holds exactly one group because the gap is >= block_m wide — a tile
+    cannot touch both groups). Row order within group 1 is reversed,
+    which is invisible to the row-independent grouped matmul and to the
+    `dest` gather."""
     s = xs.shape[0]
-    sp = (s // block_m + num_experts) * block_m  # static worst case
     onehot = jax.nn.one_hot(expert_idx, num_experts, dtype=jnp.int32)
     csum = jnp.cumsum(onehot, axis=0)                       # [S, E]
     ranks = jnp.take_along_axis(csum, expert_idx[:, None], 1)[:, 0] - 1
     group_sizes = csum[-1]                                  # [E]
+    if num_experts == 2:
+        sp = ((s + block_m - 1) // block_m + 1) * block_m   # gap >= bm
+        dest = jnp.where(expert_idx == 0, ranks, sp - 1 - ranks)
+        x_al = jnp.zeros((sp, xs.shape[1]), xs.dtype).at[dest].set(xs)
+        # a tile belongs to group 1 iff it contains any group-1 row
+        # (tile_end > sp - n1); it then contains no group-0 row since
+        # n0 <= sp - n1 - bm <= tile_start
+        tile_end = (jnp.arange(sp // block_m, dtype=jnp.int32) + 1) \
+            * block_m
+        tile_gid = (tile_end > sp - group_sizes[1]).astype(jnp.int32)
+        return x_al, dest, tile_gid
+    sp = (s // block_m + num_experts) * block_m  # static worst case
     aligned = ((group_sizes + block_m - 1) // block_m) * block_m
     offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                             jnp.cumsum(aligned.astype(jnp.int32))[:-1]])

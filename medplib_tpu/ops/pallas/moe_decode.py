@@ -41,13 +41,14 @@ column axis with nh*n_j + j avoids any relayout.
 Single-shard path (the 1-chip flagship decode); the expert-parallel
 dispatch keeps the 3-call gmm inside its shard_map (ops/moe._gmm_moe_ep).
 EP decode cost bound: the 3-call gmm measured 23.4 ms/step on one chip
-streaming ALL experts vs 21.12 fused, and under ep-way sharding each chip
-streams only E/ep experts — expert DMA (the dominant decode term) scales
-1/ep while the per-layer all_gather/psum_scatter of [rows, H] rides ICI
-at negligible size (~100 KB at B=12), so EP decode projects BELOW the
-single-chip fused number; the +10.8% fused-vs-3-call delta bounds what a
-fused shard-local kernel would additionally recover (README "EP decode
-cost note"). Reference scope: deepspeed MoE inference dispatch,
+streaming ALL experts vs 19.67 fused (post pairs-migration), and under
+ep-way sharding each chip streams only E/ep experts — expert DMA (the
+dominant decode term) scales 1/ep while the per-layer
+all_gather/psum_scatter of [rows, H] rides ICI at negligible size
+(~100 KB at B=12), so EP decode projects BELOW the single-chip fused
+number; the +19% fused-vs-3-call delta bounds what a fused shard-local
+kernel would additionally recover (README "EP decode cost note").
+Reference scope: deepspeed MoE inference dispatch,
 medplib_moe_llama.py:602-614.
 """
 

@@ -167,7 +167,7 @@ def quantize_tree(params: Any, skip: Sequence[str] = SKIP_MODULES,
                   int4_scheme: str = "half", int4_groups: int = 8) -> Any:
     """Replace eligible linear kernels with quantized pairs: bits=8 ->
     {"kernel": int8, "scale": f32}, bits=4 -> the matmul-fusible
-    deinterleaved-halves layout {"kernel": packed int8, "scale4h": f32
+    interleaved-pairs layout {"kernel": packed int8, "scale4h": f32
     groupwise} (int4_scheme="half", the default — decode runs at int8
     speed with half the HBM), or the bnb-NF4-like small-block layout
     {"kernel": packed int8, "scale4": f32 blockwise} (int4_scheme="block";
@@ -322,7 +322,7 @@ def quantize_flagship_moe(params: Any, expert_bits: int = 4,
                           attn_bits: int = 8) -> Any:
     """Mixed-precision quantization for the full-depth MoE flagship
     (MedPLIB-7b-2e, 32L x 2 experts ~= 13B params): the expert stacks —
-    2/3 of the weights — go int4 (deinterleaved-halves fast layout), the
+    2/3 of the weights — go int4 (interleaved-pairs fast layout), the
     attention/dense path int8. ~7 GB total on-chip for the LLM, which is
     what fits the 16 GB v5e alongside KV cache + towers at a useful batch.
     Routers/norms/embeddings stay full precision (SKIP_MODULES).

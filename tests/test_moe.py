@@ -573,11 +573,12 @@ def test_gmm_int4h_dispatch():
 @pytest.mark.parametrize("pattern", ["all_one", "tight", "empty_first",
                                      "alternating"])
 def test_align_groups_adversarial_routing(pattern):
-    """align_groups under routing skew: the static worst-case buffer
-    sp = (S // block_m + E) * block_m is exactly tight (sum of per-group
-    padding is congruent to -S mod block_m, so it caps at E*bm - r), and
-    every adversarial distribution must scatter without collisions, keep
-    dest in-bounds, and give each real token's m-tile its own expert id."""
+    """align_groups under routing skew: every adversarial distribution
+    must scatter without collisions, keep dest in-bounds, and give each
+    real token's m-tile its own expert id. E = 2 uses the TWO-ENDED
+    layout (group 1 descending from the buffer end, one block_m of gap:
+    sp = ceil(S/bm)*bm + bm); the gap guarantees no tile touches both
+    groups even at the adversarial splits."""
     from medplib_tpu.ops.pallas.gmm import align_groups
     E, bm, K = 2, 32, 8
     S = 162 if pattern == "tight" else 161
@@ -602,7 +603,7 @@ def test_align_groups_adversarial_routing(pattern):
         lambda v, i: align_groups(v, i, E, bm))(jnp.asarray(xs),
                                                 jnp.asarray(idx))
     x_al, dest, tile_gid = map(np.asarray, (x_al, dest, tile_gid))
-    sp = (S // bm + E) * bm
+    sp = ((S + bm - 1) // bm + 1) * bm   # two-ended E=2 layout
     assert x_al.shape == (sp, K) and tile_gid.shape == (sp // bm,)
     # no collisions, all rows in-bounds
     assert len(set(dest.tolist())) == S
