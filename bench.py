@@ -12,14 +12,16 @@ at roughly 30 tok/s for a LoRA-merged 7B in fp16, plus a sequential SAM
 encode+decode per sample — ~2.5 masks/s/GPU for a 10-token grounding answer.
 The north star in BASELINE.json is >=3x that per v5e chip.
 
-Default config (round 3) = the FLAGSHIP: the model the reference actually
+Default config = the FLAGSHIP: the model the reference actually
 ships — MedPLIB-7b-2e, 32 layers x 2 experts (~13B params), top-1 routing,
 eval capacity 2.0 — quantized int8 attention + int4h experts (the halved
 expert residency buys batch 16) with the whole-stack Pallas gmm_int4h
 W4A8 expert dispatch at prefill AND the fused A8 decode-step kernel
-(ops/pallas/moe_decode.py — routing+SwiGLU+combine in one pallas call,
-21.12 ms/step; sort-free cumsum group alignment): 14.14 masks/s (~5.7x;
-pre-fused-decode 13.4-13.95 run-to-run on the shared axon tunnel).
+(ops/pallas/moe_decode.py — routing+SwiGLU+combine in one pallas call;
+19.67 ms/step after the round-5 interleaved-pairs bitcast unpack, 0.11 ms
+off the dense int8 floor; sort-free cumsum alignment, TWO-ENDED E=2
+packing): 14.52 masks/s (~5.8x; round-4 halves layout measured
+13.95-14.14 run-to-run on the shared axon tunnel).
 BENCH_MOE_EXPERT_BITS=8 selects int8 experts (finer scales, B=8 + int8
 KV — 11.13, 4.45x). BENCH_MOE=0 selects the dense LISA-style variant
 (weight-only int8 + XLA W8A8 prefill, batch 16 — 16.03 masks/s, 6.4x;
